@@ -1,0 +1,294 @@
+"""Chain message passing (Kalman smoothing) as XLA scan programs.
+
+The reference computes LGSSM smoothing by dynamic message passing over a
+chain factor graph (``/root/reference/test/inference_engine_tests.jl:379-488``):
+forward/backward sweeps of Gaussian messages, marginal = product of the
+inbound messages.  On TPU the chain structure is static, so the whole sweep
+compiles to scans:
+
+- :func:`lgssm_smooth_scan` — ``lax.scan`` forward + backward message
+  recursions, *batched over replicas* in the leading axes.  One scan step
+  updates every replica's message at once; with 10k replicas the VPU stays
+  saturated while the time axis is sequential.
+- :func:`lgssm_smooth_assoc` — time-parallel formulation via
+  ``lax.associative_scan`` (the parallel Kalman filter/smoother of Särkkä &
+  García-Fernández, 2020): O(log T) depth, for long chains / few replicas.
+
+Both return identical Belief-Propagation marginals: the posterior mean/variance
+of every state given all observations (Kalman/RTS-equivalent), matching the
+reference's sum-product semantics with the chain's messages:
+
+    marginal_t = obs_message_t · forward_message_t · backward_message_t
+
+Model (scalar state, per batch element):
+
+    x_t = A x_{t-1} + N(0, Q),    y_t = H x_t + N(0, R)
+
+With no explicit prior on ``x_1`` (the reference chain has none): the first
+forward "filtered" belief is just the first observation message
+``N(y_1/H, R/H²)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "lgssm_smooth_scan",
+    "lgssm_smooth_assoc",
+    "lgssm_messages_scan",
+]
+
+
+class ChainMarginals(NamedTuple):
+    """Posterior marginals of each state: arrays shaped like ``y``."""
+
+    mean: jax.Array
+    variance: jax.Array
+
+
+def _obs_message(y, H, R):
+    """Information-form observation message into x_t: xi = H y / R, w = H²/R."""
+    xi = H * y / R
+    w = jnp.broadcast_to(jnp.asarray((H * H) / R, xi.dtype), xi.shape)
+    return xi, w
+
+
+def lgssm_smooth_scan(
+    y: jax.Array,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    prior: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> ChainMarginals:
+    """BP smoothing of a scalar LGSSM chain via two ``lax.scan`` passes.
+
+    Parameters
+    ----------
+    y:
+        Observations, shape ``(..., T)``; leading axes are replica batches.
+    A, Q, H, R:
+        Transition/observation coefficients (scalars or broadcastable arrays).
+    prior:
+        Optional ``(mean, variance)`` prior message on ``x_1``; ``None``
+        mirrors the reference chain (no prior factor on the first state).
+
+    Returns
+    -------
+    ChainMarginals with ``mean``/``variance`` of shape ``(..., T)``.
+    """
+    y = jnp.asarray(y)
+    T = y.shape[-1]
+    yT = jnp.moveaxis(y, -1, 0)  # (T, ...batch)
+
+    xi_obs, w_obs = _obs_message(yT, H, R)
+
+    if prior is not None:
+        pm, pv = prior
+        xi0 = xi_obs[0] + pm / pv
+        w0 = w_obs[0] + 1.0 / pv
+    else:
+        xi0, w0 = xi_obs[0], w_obs[0]
+
+    # Forward pass: carry the filtered belief (product of obs message and
+    # forward message); emit the forward *message* into the next state.
+    def fwd_step(carry, obs):
+        xi_f, w_f = carry  # filtered belief of x_{t-1}
+        xi_o, w_o = obs  # obs message of x_t
+        # Project through transition x_t = A x_{t-1} + N(0,Q):
+        # mean -> A·m, var -> A²·v + Q  (in info form).
+        m = xi_f / w_f
+        v = 1.0 / w_f
+        v_msg = A * A * v + Q
+        xi_msg = (A * m) / v_msg
+        w_msg = 1.0 / v_msg
+        new_xi = xi_msg + xi_o
+        new_w = w_msg + w_o
+        return (new_xi, new_w), (xi_msg, w_msg)
+
+    (_, _), (xi_fwd, w_fwd) = lax.scan(
+        fwd_step, (xi0, w0), (xi_obs[1:], w_obs[1:])
+    )
+    # Forward message into x_1 is "no message" (zero information).
+    zero = jnp.zeros_like(xi_obs[0])
+    xi_fwd = jnp.concatenate([zero[None], xi_fwd], axis=0)
+    w_fwd = jnp.concatenate([zero[None], w_fwd], axis=0)
+
+    # Backward pass: carry the product (obs_t · backward message of x_t);
+    # emit the backward message into x_{t-1}.
+    def bwd_step(carry, obs):
+        xi_b, w_b = carry
+        xi_o, w_o = obs
+        # Project back through the transition: x_{t-1} = (x_t - noise)/A:
+        # mean -> m/A, var -> (v + Q)/A².
+        m = xi_b / w_b
+        v = 1.0 / w_b
+        v_msg = (v + Q) / (A * A)
+        xi_msg = (m / A) / v_msg
+        w_msg = 1.0 / v_msg
+        new_xi = xi_msg + xi_o
+        new_w = w_msg + w_o
+        return (new_xi, new_w), (xi_msg, w_msg)
+
+    (_, _), (xi_bwd_rev, w_bwd_rev) = lax.scan(
+        bwd_step,
+        (xi_obs[-1], w_obs[-1]),
+        (xi_obs[:-1][::-1], w_obs[:-1][::-1]),
+    )
+    xi_bwd = jnp.concatenate([xi_bwd_rev[::-1], zero[None]], axis=0)
+    w_bwd = jnp.concatenate([w_bwd_rev[::-1], zero[None]], axis=0)
+
+    # Marginal_t = obs_t · fwd_t · bwd_t (+ prior on t=1 when given).
+    xi_m = xi_obs + xi_fwd + xi_bwd
+    w_m = w_obs + w_fwd + w_bwd
+    if prior is not None:
+        pm, pv = prior
+        xi_m = xi_m.at[0].add(pm / pv)
+        w_m = w_m.at[0].add(1.0 / pv)
+
+    mean = jnp.moveaxis(xi_m / w_m, 0, -1)
+    variance = jnp.moveaxis(1.0 / w_m, 0, -1)
+    return ChainMarginals(mean, variance)
+
+
+def lgssm_messages_scan(y, A=1.0, Q=1.0, H=1.0, R=1.0):
+    """Return the forward and backward chain *messages* in information form,
+    shape ``(..., T)`` each — the scan analogue of reading individual
+    ``MessageToVariable`` signals off the dynamic engine."""
+    y = jnp.asarray(y)
+    marg = lgssm_smooth_scan(y, A, Q, H, R)
+    # Recompute components (cheap, fused by XLA when jitted together).
+    yT = jnp.moveaxis(y, -1, 0)
+    xi_obs, w_obs = _obs_message(yT, H, R)
+    xi_m = jnp.moveaxis(marg.mean / marg.variance, -1, 0)
+    w_m = jnp.moveaxis(1.0 / marg.variance, -1, 0)
+    return {
+        "obs": (jnp.moveaxis(xi_obs, 0, -1), jnp.moveaxis(w_obs, 0, -1)),
+        "marginal": (jnp.moveaxis(xi_m, 0, -1), jnp.moveaxis(w_m, 0, -1)),
+    }
+
+
+# -- Time-parallel (associative scan) formulation ---------------------------
+#
+# Parallel Kalman filtering/smoothing (Särkkä & García-Fernández 2020,
+# arXiv:1905.13002): filtering is an associative combination of per-step
+# conditional-Gaussian elements (A, b, C, eta, J); smoothing of (E, g, L).
+# O(log T) depth on the time axis.
+
+
+class _FilterElem(NamedTuple):
+    A: jax.Array
+    b: jax.Array
+    C: jax.Array
+    eta: jax.Array
+    J: jax.Array
+
+
+def _filter_combine(e1: _FilterElem, e2: _FilterElem) -> _FilterElem:
+    """Scalar-state specialization of the paper's eq. (10)-(11)."""
+    denom = 1.0 + e1.C * e2.J
+    A = e2.A * e1.A / denom
+    b = e2.A * (e1.b + e1.C * e2.eta) / denom + e2.b
+    C = e2.A * e2.A * e1.C / denom + e2.C
+    eta = e1.A * (e2.eta - e2.J * e1.b) / denom + e1.eta
+    J = e1.A * e1.A * e2.J / denom + e1.J
+    return _FilterElem(A, b, C, eta, J)
+
+
+class _SmootherElem(NamedTuple):
+    E: jax.Array
+    g: jax.Array
+    L: jax.Array
+
+
+def _smoother_combine(e1: _SmootherElem, e2: _SmootherElem) -> _SmootherElem:
+    """Reverse-direction combination (paper eq. (21)): elem1 closer to t=T."""
+    return _SmootherElem(
+        e2.E * e1.E, e2.E * e1.g + e2.g, e2.E * e2.E * e1.L + e2.L
+    )
+
+
+def lgssm_smooth_assoc(
+    y: jax.Array,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    prior: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> ChainMarginals:
+    """Time-parallel BP smoothing via ``lax.associative_scan``.
+
+    Same inputs/outputs as :func:`lgssm_smooth_scan`; O(log T) depth on the
+    time axis — the TPU formulation of the reference's sequential
+    forward/backward sweep ordering (``src/inference_engine.jl:575-607``).
+    """
+    y = jnp.asarray(y)
+    yT = jnp.moveaxis(y, -1, 0)  # (T, ...)
+    batch_shape = yT.shape[1:]
+
+    if prior is not None:
+        m0, P0 = prior
+        m0 = jnp.broadcast_to(jnp.asarray(m0, y.dtype), batch_shape)
+        P0 = jnp.broadcast_to(jnp.asarray(P0, y.dtype), batch_shape)
+    else:
+        # No prior factor: emulate with the first filtered belief equal to the
+        # first observation message alone (infinite prior variance limit).
+        m0 = yT[0] / H
+        P0 = jnp.broadcast_to(jnp.asarray(R, y.dtype) / (H * H), batch_shape)
+
+    # First filtering element: filtered belief of x_1.
+    if prior is not None:
+        S1 = H * P0 * H + R
+        K1 = P0 * H / S1
+        b1 = m0 + K1 * (yT[0] - H * m0)
+        C1 = P0 - K1 * H * P0
+    else:
+        b1, C1 = m0, P0
+    zeros = jnp.zeros_like(b1)
+    elem1 = _FilterElem(zeros, b1, C1, zeros, zeros)
+
+    # Generic elements for t >= 2.
+    yrest = yT[1:]
+    S = H * Q * H + R
+    K = Q * H / S
+    A_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * A, y.dtype), yrest.shape)
+    b_e = K * yrest
+    C_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * Q, y.dtype), yrest.shape)
+    eta_e = A * H * yrest / S
+    J_e = jnp.broadcast_to(jnp.asarray(A * H * H * A / S, y.dtype), yrest.shape)
+
+    elems = _FilterElem(
+        jnp.concatenate([elem1.A[None], A_e], axis=0),
+        jnp.concatenate([elem1.b[None], b_e], axis=0),
+        jnp.concatenate([elem1.C[None], C_e], axis=0),
+        jnp.concatenate([elem1.eta[None], eta_e], axis=0),
+        jnp.concatenate([elem1.J[None], J_e], axis=0),
+    )
+
+    filtered = lax.associative_scan(_filter_combine, elems, axis=0)
+    fm, fP = filtered.b, filtered.C  # filtered means/vars, shape (T, ...)
+
+    # Smoothing elements (reverse associative scan).
+    # For t < T:  E = C_f A / (A C_f A + Q);  g = m_f - E A m_f;
+    #             L = C_f - E A C_f.
+    Pp = A * A * fP[:-1] + Q  # predicted variance, shape (T-1, ...)
+    E = fP[:-1] * A / Pp
+    g = fm[:-1] - E * A * fm[:-1]
+    L = fP[:-1] - E * A * fP[:-1]
+    E_T = jnp.zeros_like(fm[0])
+    g_T = fm[-1]
+    L_T = fP[-1]
+    selems = _SmootherElem(
+        jnp.concatenate([E, E_T[None]], axis=0),
+        jnp.concatenate([g, g_T[None]], axis=0),
+        jnp.concatenate([L, L_T[None]], axis=0),
+    )
+    smoothed = lax.associative_scan(_smoother_combine, selems, axis=0, reverse=True)
+    mean = jnp.moveaxis(smoothed.g, 0, -1)
+    variance = jnp.moveaxis(smoothed.L, 0, -1)
+    return ChainMarginals(mean, variance)

@@ -1,0 +1,187 @@
+"""Time-sharded LGSSM smoothing: a distributed associative scan over the mesh.
+
+The reference smooths a chain by sequential alternating sweeps
+(``/root/reference/src/inference_engine.jl:575-607``).  Sharding the *time*
+axis of a long chain across chips cannot use that recursion directly — instead
+the chain's message passing is reformulated as an associative scan (see
+:mod:`cortex_tpu.ops.chains`) and distributed in three steps:
+
+1. each device runs a **local** associative scan over its time block,
+2. the per-block combined elements (one small 5-tuple per device) are
+   exchanged with a single ``all_gather`` over the ``time`` mesh axis — this
+   is the *only* cross-chip traffic, riding ICI; no halo exchange loops,
+3. each device folds the exclusive prefix of the other blocks' elements into
+   its local scan.
+
+The same pattern runs in reverse for the smoother pass.  Results are exact —
+bitwise-comparable to the single-device associative scan — and the collective
+volume is O(num_devices), independent of chain length.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.chains import (
+    ChainMarginals,
+    _FilterElem,
+    _SmootherElem,
+    _filter_combine,
+    _smoother_combine,
+)
+
+__all__ = ["lgssm_smooth_time_sharded"]
+
+
+def _filter_identity(like: jax.Array) -> _FilterElem:
+    one = jnp.ones_like(like)
+    zero = jnp.zeros_like(like)
+    return _FilterElem(one, zero, zero, zero, zero)
+
+
+def _smoother_identity(like: jax.Array) -> _SmootherElem:
+    return _SmootherElem(jnp.ones_like(like), jnp.zeros_like(like), jnp.zeros_like(like))
+
+
+def _exclusive_prefix(gathered, combine, identity, my_index, ndev):
+    """Fold ``gathered[i]`` for ``i < my_index`` into a single element."""
+
+    def body(i, acc):
+        elem = jax.tree_util.tree_map(lambda a: a[i], gathered)
+        combined = combine(acc, elem)
+        return jax.tree_util.tree_map(
+            lambda c, a: jnp.where(i < my_index, c, a), combined, acc
+        )
+
+    return lax.fori_loop(0, ndev, body, identity)
+
+
+def _exclusive_suffix(gathered, combine, identity, my_index, ndev):
+    """Fold ``gathered[i]`` for ``i > my_index`` into a single element
+    (reverse direction: accumulate from the far end towards my block)."""
+
+    def body(k, acc):
+        i = ndev - 1 - k
+        elem = jax.tree_util.tree_map(lambda a: a[i], gathered)
+        combined = combine(acc, elem)
+        return jax.tree_util.tree_map(
+            lambda c, a: jnp.where(i > my_index, c, a), combined, acc
+        )
+
+    return lax.fori_loop(0, ndev, body, identity)
+
+
+def lgssm_smooth_time_sharded(
+    y: jax.Array,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+    prior: Optional[Tuple[float, float]] = None,
+) -> ChainMarginals:
+    """Smooth ``y`` of shape ``(..., T)`` with T sharded over ``time_axis``.
+
+    Exact Kalman/RTS marginals; per-sweep collective volume is one filter
+    5-tuple and one smoother 3-tuple per device.
+    """
+    y = jnp.asarray(y)
+    T = y.shape[-1]
+    ndev = mesh.shape[time_axis]
+    if T % ndev:
+        raise ValueError(f"T={T} must divide evenly over {ndev} devices")
+
+    batch_spec = (None,) * (y.ndim - 1)
+    in_spec = P(*batch_spec, time_axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_spec,
+        out_specs=(in_spec, in_spec),
+    )
+    def sharded(y_blk):
+        # y_blk: (..., T/ndev) local block, time-major below.
+        yT = jnp.moveaxis(y_blk, -1, 0)
+        my = lax.axis_index(time_axis)
+
+        # -- generic filter elements for every local step -----------------
+        S = H * Q * H + R
+        K = Q * H / S
+        A_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * A, y.dtype), yT.shape)
+        b_e = K * yT
+        C_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * Q, y.dtype), yT.shape)
+        eta_e = A * H * yT / S
+        J_e = jnp.broadcast_to(jnp.asarray(A * H * H * A / S, y.dtype), yT.shape)
+
+        # -- first global element is special (prior / first obs) ----------
+        if prior is not None:
+            m0 = jnp.broadcast_to(jnp.asarray(prior[0], y.dtype), yT.shape[1:])
+            P0 = jnp.broadcast_to(jnp.asarray(prior[1], y.dtype), yT.shape[1:])
+            S1 = H * P0 * H + R
+            K1 = P0 * H / S1
+            b1 = m0 + K1 * (yT[0] - H * m0)
+            C1 = P0 - K1 * H * P0
+        else:
+            b1 = yT[0] / H
+            C1 = jnp.broadcast_to(jnp.asarray(R / (H * H), y.dtype), yT.shape[1:])
+        is_first = (my == 0)
+        zeros0 = jnp.zeros_like(b1)
+        A_e = A_e.at[0].set(jnp.where(is_first, zeros0, A_e[0]))
+        b_e = b_e.at[0].set(jnp.where(is_first, b1, b_e[0]))
+        C_e = C_e.at[0].set(jnp.where(is_first, C1, C_e[0]))
+        eta_e = eta_e.at[0].set(jnp.where(is_first, zeros0, eta_e[0]))
+        J_e = J_e.at[0].set(jnp.where(is_first, zeros0, J_e[0]))
+        elems = _FilterElem(A_e, b_e, C_e, eta_e, J_e)
+
+        # -- local scan + cross-device prefix fold -------------------------
+        local = lax.associative_scan(_filter_combine, elems, axis=0)
+        block_total = jax.tree_util.tree_map(lambda a: a[-1], local)
+        gathered = lax.all_gather(block_total, time_axis)  # (ndev, ...)
+        prefix = _exclusive_prefix(
+            gathered, _filter_combine, _filter_identity(b1), my, ndev
+        )
+        prefix_b = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (yT.shape[0],) + a.shape), prefix
+        )
+        final = _filter_combine(prefix_b, local)
+        fm, fP = final.b, final.C  # filtered means/vars for local block
+
+        # -- smoother elements ---------------------------------------------
+        Pp = A * A * fP + Q
+        E = fP * A / Pp
+        g = fm - E * A * fm
+        L = fP - E * A * fP
+        # The *global* last element is terminal: (0, fm_T, fP_T).
+        is_last = (my == ndev - 1)
+        E = E.at[-1].set(jnp.where(is_last, jnp.zeros_like(E[-1]), E[-1]))
+        g = g.at[-1].set(jnp.where(is_last, fm[-1], g[-1]))
+        L = L.at[-1].set(jnp.where(is_last, fP[-1], L[-1]))
+        selems = _SmootherElem(E, g, L)
+
+        slocal = lax.associative_scan(
+            _smoother_combine, selems, axis=0, reverse=True
+        )
+        sblock_total = jax.tree_util.tree_map(lambda a: a[0], slocal)
+        sgathered = lax.all_gather(sblock_total, time_axis)
+        suffix = _exclusive_suffix(
+            sgathered, _smoother_combine, _smoother_identity(b1), my, ndev
+        )
+        suffix_b = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (yT.shape[0],) + a.shape), suffix
+        )
+        sfinal = _smoother_combine(suffix_b, slocal)
+        mean = jnp.moveaxis(sfinal.g, 0, -1)
+        var = jnp.moveaxis(sfinal.L, 0, -1)
+        return mean, var
+
+    mean, var = sharded(y)
+    return ChainMarginals(mean, var)

@@ -1,0 +1,111 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cortex_tpu.models import LGSSM
+from cortex_tpu.ops import lgssm_smooth_scan
+from cortex_tpu.parallel import (
+    lgssm_smooth_time_sharded,
+    make_mesh,
+    replica_sharding,
+    shard_replicas,
+)
+
+
+def test_make_mesh_default():
+    mesh = make_mesh()
+    assert mesh.shape["replica"] == 8
+
+
+def test_make_mesh_two_axes():
+    mesh = make_mesh([("replica", 2), ("time", -1)])
+    assert mesh.shape["replica"] == 2
+    assert mesh.shape["time"] == 4
+
+
+def test_make_mesh_errors():
+    with pytest.raises(ValueError):
+        make_mesh([("a", -1), ("b", -1)])
+    with pytest.raises(ValueError):
+        make_mesh([("a", 16)])
+
+
+def test_replica_sharded_smoothing_matches_single_device():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(64, 32)).cumsum(axis=-1))
+
+    model = LGSSM(A=0.95, Q=0.5, H=1.0, R=1.0)
+    expected = model.smooth(y)
+
+    mesh = make_mesh()
+    y_sharded = shard_replicas(y, mesh)
+    assert y_sharded.sharding.spec == P("replica")
+
+    smooth = jax.jit(model.smooth, out_shardings=replica_sharding(mesh))
+    result = smooth(y_sharded)
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-5, atol=1e-5
+    )
+    # The output stays sharded over replicas.
+    assert result.mean.sharding.spec == P("replica")
+
+
+def test_replica_sharded_free_energy_psum():
+    """Cross-replica reduction (log evidence sum) over the mesh."""
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.normal(size=(32, 16)))
+    model = LGSSM()
+    mesh = make_mesh()
+    y_sharded = shard_replicas(y, mesh)
+
+    total = jax.jit(lambda data: model.log_evidence(data).sum())(y_sharded)
+    expected = model.log_evidence(y).sum()
+    assert float(total) == pytest.approx(float(expected), rel=1e-5)
+
+
+@pytest.mark.parametrize("use_prior", [False, True])
+def test_time_sharded_smoothing_matches_single_device(use_prior):
+    rng = np.random.default_rng(2)
+    batch, T = 4, 64
+    y = jnp.asarray(rng.normal(size=(batch, T)).cumsum(axis=-1))
+    prior = (0.5, 2.0) if use_prior else None
+
+    mesh = make_mesh([("time", 8)])
+    result = lgssm_smooth_time_sharded(
+        y, A=0.9, Q=0.3, H=1.0, R=1.5, mesh=mesh, prior=prior
+    )
+    expected = lgssm_smooth_scan(y, A=0.9, Q=0.3, H=1.0, R=1.5, prior=prior)
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.variance),
+        np.asarray(expected.variance),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+def test_time_sharded_rejects_ragged_split():
+    mesh = make_mesh([("time", 8)])
+    with pytest.raises(ValueError):
+        lgssm_smooth_time_sharded(jnp.ones((2, 60)), mesh=mesh)
+
+
+def test_replica_and_time_mesh_combined():
+    """2x4 mesh: replicas over one axis, time over the other."""
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=(8, 32)).cumsum(axis=-1))
+    mesh = make_mesh([("replica", 2), ("time", 4)])
+
+    y_sharded = jax.device_put(y, NamedSharding(mesh, P("replica", "time")))
+    result = lgssm_smooth_time_sharded(y_sharded, mesh=mesh)
+    expected = lgssm_smooth_scan(y)
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-3, atol=1e-3
+    )
