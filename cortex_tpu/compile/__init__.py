@@ -1,0 +1,22 @@
+"""Static schedule compiler: signal DAG → phased, type-batched XLA programs."""
+
+from .schedule import ComputeStep, PhaseGroup, StaticSchedule, extract_schedule
+from .executor import (
+    BatchedProcessor,
+    CompiledInference,
+    product_reduce,
+    tree_stack,
+    tree_unstack,
+)
+
+__all__ = [
+    "ComputeStep",
+    "PhaseGroup",
+    "StaticSchedule",
+    "extract_schedule",
+    "BatchedProcessor",
+    "CompiledInference",
+    "product_reduce",
+    "tree_stack",
+    "tree_unstack",
+]

@@ -1,0 +1,240 @@
+"""Batched executor: run a :class:`StaticSchedule` as one jittable program.
+
+The dynamic engine dispatches one rule call per pending signal
+(``src/inference_engine.jl:479-509``).  Here, all steps in a phase that share
+a rule key execute as ONE batched call: dependency values are stacked along a
+new leading *group* axis, the batched rule computes every signal in the group
+at once, and results are unstacked into the value table.  Under ``jax.jit``
+the stack/unstack bookkeeping disappears into XLA gathers and the whole sweep
+compiles to a single fused program.
+
+Weak-dependency (VMP) semantics are preserved exactly: the value table starts
+from the previous iteration's state, so a weak edge whose producer has not yet
+run this sweep reads the stale value — the static equivalent of the
+reference's weak-dependency pending criterion (``src/signal.jl:668-730``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import variants as V
+from ..core.engine import InferenceEngine
+from ..core.signal import Signal
+from .schedule import PhaseGroup, StaticSchedule, extract_schedule
+
+__all__ = [
+    "tree_stack",
+    "tree_unstack",
+    "BatchedProcessor",
+    "product_reduce",
+    "CompiledInference",
+]
+
+
+def tree_stack(values: Sequence[Any]) -> Any:
+    """Stack a list of identically-structured pytrees along a new axis 0."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *values)
+
+
+def tree_unstack(stacked: Any, n: int) -> List[Any]:
+    """Split axis 0 of a stacked pytree back into n pytrees."""
+    return [jax.tree_util.tree_map(lambda a: a[i], stacked) for i in range(n)]
+
+
+def product_reduce(dep_values: Sequence[Any]) -> Any:
+    """Fold a list of same-family distribution batches with ``*`` — the
+    batched analogue of the reference tests' ``reduce(product, deps)``
+    (``test/inference_engine_tests.jl:392-412``)."""
+    out = dep_values[0]
+    for v in dep_values[1:]:
+        out = out * v
+    return out
+
+
+class BatchedProcessor:
+    """Batched rule set: the compiled counterpart of
+    :class:`~cortex_tpu.core.engine.InferenceRequestProcessor`.
+
+    Each hook receives ``(engine, variants, dep_values)`` where ``variants``
+    is the list of variant objects in the group (static metadata — all the
+    same kind) and ``dep_values`` is a list over dependency positions of
+    *stacked* pytrees (leading axis = group).  Hooks return a stacked pytree
+    of the group's new values.
+
+    Product-flavored hooks default to information-form product reduction,
+    which is what sum-product message passing needs
+    (cf. the reference test processors); message hooks are model-specific.
+    """
+
+    def compute_message_to_variable(self, engine, variants, dep_values):
+        raise NotImplementedError(
+            f"compute_message_to_variable not implemented by {type(self).__name__}"
+        )
+
+    def compute_message_to_factor(self, engine, variants, dep_values):
+        return product_reduce(dep_values)
+
+    def compute_individual_marginal(self, engine, variants, dep_values):
+        return product_reduce(dep_values)
+
+    def compute_product_of_messages(self, engine, variants, dep_values):
+        return product_reduce(dep_values)
+
+    def compute_joint_marginal(self, engine, variants, dep_values):
+        raise NotImplementedError(
+            f"compute_joint_marginal not implemented by {type(self).__name__}"
+        )
+
+    def dispatch(self, engine, group: PhaseGroup, dep_values):
+        kind = group.key[0]
+        variants = [s.variant for s in group.steps]
+        if kind == "MessageToVariable":
+            return self.compute_message_to_variable(engine, variants, dep_values)
+        if kind == "MessageToFactor":
+            return self.compute_message_to_factor(engine, variants, dep_values)
+        if kind == "IndividualMarginal":
+            return self.compute_individual_marginal(engine, variants, dep_values)
+        if kind == "ProductOfMessages":
+            return self.compute_product_of_messages(engine, variants, dep_values)
+        if kind == "JointMarginal":
+            return self.compute_joint_marginal(engine, variants, dep_values)
+        raise RuntimeError(f"Unprocessed signal variant kind: {kind}")
+
+
+class CompiledInference:
+    """A factor-graph inference request compiled to a static batched program.
+
+    Parameters
+    ----------
+    engine:
+        A resolver-wired :class:`InferenceEngine` (the graph "compile" step,
+        reference ``src/inference_engine.jl:60-89``).
+    variable_ids:
+        Target variables whose marginals to compute (as in
+        ``update_marginals!``).
+    processor:
+        A :class:`BatchedProcessor` with the model's batched rules.
+
+    Call with ``inputs`` mapping each *source* signal (or its
+    ``(variable_id, factor_id)`` message key) to a value.  For VMP graphs,
+    iterate: ``state`` carries the previous sweep's marginals.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        variable_ids: Sequence[int],
+        processor: BatchedProcessor,
+    ) -> None:
+        self.engine = engine
+        self.processor = processor
+        self.schedule: StaticSchedule = extract_schedule(engine, variable_ids)
+        self._source_index: Dict[int, int] = {
+            id(s): i for i, s in enumerate(self.schedule.sources)
+        }
+        self._initial_index: Dict[int, int] = {
+            id(s): i for i, s in enumerate(self.schedule.initials)
+        }
+
+    # -- input plumbing ----------------------------------------------------
+    def source_key(self, signal: Signal) -> Any:
+        """Human-readable key for a source signal."""
+        variant = signal.variant
+        if isinstance(variant, V.MessageToFactor):
+            return ("message_to_factor", variant.variable_id, variant.factor_id)
+        if isinstance(variant, V.MessageToVariable):
+            return ("message_to_variable", variant.variable_id, variant.factor_id)
+        if isinstance(variant, V.IndividualMarginal):
+            return ("marginal", variant.variable_id)
+        return ("signal", id(signal))
+
+    def source_keys(self) -> List[Any]:
+        return [self.source_key(s) for s in self.schedule.sources]
+
+    def initial_state(self) -> List[Any]:
+        """Previous-iteration values for signals computed at compile time
+        (e.g. VMP initial marginals), in stable order."""
+        return [s.get_value() for s in self.schedule.initials]
+
+    def _resolve_inputs(self, inputs: Mapping[Any, Any]) -> Dict[int, Any]:
+        values: Dict[int, Any] = {}
+        by_key = {self.source_key(s): s for s in self.schedule.sources}
+        for k, v in inputs.items():
+            if isinstance(k, Signal):
+                sig = k
+            elif k in by_key:
+                sig = by_key[k]
+            else:
+                raise KeyError(f"Unknown input key: {k!r}")
+            values[id(sig)] = v
+        missing = [
+            self.source_key(s)
+            for s in self.schedule.sources
+            if id(s) not in values
+        ]
+        if missing:
+            raise ValueError(f"Missing inputs for sources: {missing[:5]}...")
+        return values
+
+    # -- execution ---------------------------------------------------------
+    def run(
+        self,
+        inputs: Mapping[Any, Any],
+        state: Optional[Sequence[Any]] = None,
+    ) -> Tuple[Dict[int, Any], List[Any]]:
+        """Execute one full sweep.  Returns ``(marginals, new_state)`` where
+        ``marginals`` maps variable_id → value and ``new_state`` carries the
+        updated iteration state (for VMP fixed-point loops)."""
+        values: Dict[int, Any] = self._resolve_inputs(inputs)
+        if state is None:
+            state = self.initial_state()
+        for sig, val in zip(self.schedule.initials, state):
+            values[id(sig)] = val
+
+        for phase in self.schedule.phases:
+            for group in phase:
+                n_deps = group.key[2]
+                dep_values = []
+                for j in range(n_deps):
+                    dep_values.append(
+                        tree_stack([values[id(st.deps[j])] for st in group.steps])
+                    )
+                out = self.processor.dispatch(self.engine, group, dep_values)
+                for st, val in zip(group.steps, tree_unstack(out, len(group.steps))):
+                    values[id(st.signal)] = val
+
+        marginals = {
+            vid: values[id(sig)] for vid, sig in self.schedule.targets.items()
+        }
+        new_state = [values[id(s)] for s in self.schedule.initials]
+        return marginals, new_state
+
+    def __call__(self, inputs: Mapping[Any, Any]) -> Dict[int, Any]:
+        marginals, _ = self.run(inputs)
+        return marginals
+
+    def iterate(
+        self,
+        inputs: Mapping[Any, Any],
+        n_iterations: int,
+        state: Optional[Sequence[Any]] = None,
+    ) -> Tuple[Dict[int, Any], List[Any]]:
+        """Run ``n_iterations`` VMP sweeps, threading the iteration state.
+
+        The per-sweep program is identical, so under ``jax.jit`` this unrolls
+        (small n) or can be wrapped in ``lax.fori_loop`` by the caller via
+        :meth:`run` with explicit state pytrees.
+        """
+        if state is None:
+            state = self.initial_state()
+        marginals: Dict[int, Any] = {}
+        for _ in range(n_iterations):
+            marginals, state = self.run(inputs, state)
+        return marginals, state
+
+    def summary(self) -> str:
+        return self.schedule.summary()
