@@ -1,5 +1,19 @@
 """Model zoo: the reference's example families, TPU-first."""
 
+from .hgf import HGF, HGFState, HGFTrajectory
+from .gmm import GMM, GMMPosterior, GMMResult
+from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
 
-__all__ = ["LGSSM"]
+__all__ = [
+    "LGSSM",
+    "HMM",
+    "HMMVMPState",
+    "HMMVMPResult",
+    "GMM",
+    "GMMPosterior",
+    "GMMResult",
+    "HGF",
+    "HGFState",
+    "HGFTrajectory",
+]

@@ -1,0 +1,152 @@
+"""Hidden Markov model: forward-backward smoothing + Dirichlet VMP learning.
+
+BASELINE.md config: "Hidden Markov model — discrete forward-backward +
+Dirichlet VMP".  State marginals come from sum-product sweeps on the chain
+(:mod:`cortex_tpu.ops.hmm`); the transition matrix (and optionally the
+categorical emission matrix) carries a Dirichlet posterior updated by
+variational message passing:
+
+    E-step:  forward-backward under θ̃ = exp(E_q[log θ])  (digamma means)
+    M-step:  α_post = α_prior + expected transition/emission counts
+
+The ELBO is tracked in closed form: for conjugate structured VMP,
+``ELBO = log Z̃ − Σ KL(q(θ_row) ‖ p(θ_row))`` — the free-energy reduction the
+reference never had (SURVEY.md §5 "no Bethe free energy"), vectorized across
+replicas and reducible with ``psum`` on a mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import digamma, gammaln
+
+from ..dists import Dirichlet
+from ..ops.hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
+
+__all__ = ["HMM", "HMMVMPState", "HMMVMPResult"]
+
+
+def _dirichlet_kl(alpha_q: jax.Array, alpha_p: jax.Array) -> jax.Array:
+    """KL(Dir(alpha_q) ‖ Dir(alpha_p)) along the last axis."""
+    a0q = jnp.sum(alpha_q, axis=-1)
+    a0p = jnp.sum(alpha_p, axis=-1)
+    return (
+        gammaln(a0q)
+        - jnp.sum(gammaln(alpha_q), axis=-1)
+        - gammaln(a0p)
+        + jnp.sum(gammaln(alpha_p), axis=-1)
+        + jnp.sum(
+            (alpha_q - alpha_p) * (digamma(alpha_q) - digamma(a0q)[..., None]),
+            axis=-1,
+        )
+    )
+
+
+class HMMVMPState(NamedTuple):
+    trans_alpha: jax.Array  # (..., K, K) Dirichlet posterior rows over A
+    emis_alpha: Optional[jax.Array]  # (..., K, M) or None (fixed emissions)
+
+
+class HMMVMPResult(NamedTuple):
+    state: HMMVMPState
+    posterior: HMMPosterior
+    elbo: jax.Array  # (...,) per replica, final iteration
+
+
+@dataclasses.dataclass(frozen=True)
+class HMM:
+    """Discrete HMM with K hidden states.
+
+    ``log_pi``: initial log-distribution, shape (K,).  Emissions either fixed
+    (pass per-step log-likelihoods to :meth:`smooth`) or categorical over M
+    symbols with a Dirichlet posterior (use :meth:`fit_vmp` with integer
+    observations).
+    """
+
+    K: int
+    log_pi: jax.Array
+
+    # -- sum-product smoothing with known parameters -----------------------
+    def smooth(self, log_lik: jax.Array, log_A: jax.Array) -> HMMPosterior:
+        """Forward-backward state marginals given per-step log-likelihoods."""
+        return hmm_forward_backward(log_lik, log_A, self.log_pi)
+
+    def viterbi(self, log_lik: jax.Array, log_A: jax.Array) -> jax.Array:
+        return hmm_viterbi(log_lik, log_A, self.log_pi)
+
+    # -- Dirichlet VMP over transitions (+ categorical emissions) ----------
+    def fit_vmp(
+        self,
+        obs: jax.Array,
+        n_symbols: int,
+        n_iterations: int = 20,
+        trans_prior: float = 1.0,
+        emis_prior: float = 1.0,
+        init_state: Optional[HMMVMPState] = None,
+    ) -> HMMVMPResult:
+        """Variational EM with Dirichlet posteriors over the transition rows
+        and the categorical emission rows.
+
+        ``obs``: integer observations ``(..., T)`` in ``[0, n_symbols)``;
+        leading axes are independent replicas, each with its own posterior.
+        Runs as a ``lax.scan`` over iterations — one jittable program.
+        """
+        obs = jnp.asarray(obs)
+        K, M = self.K, n_symbols
+        batch = obs.shape[:-1]
+        onehot = jax.nn.one_hot(obs, M)  # (..., T, M)
+
+        if init_state is None:
+            # Symmetry breaking: tilt the transition prior towards
+            # self-persistence (deterministic, replica-independent).
+            eye = jnp.eye(K)
+            trans_alpha = jnp.broadcast_to(
+                trans_prior + 0.5 * eye, batch + (K, K)
+            )
+            emis_alpha = jnp.broadcast_to(
+                emis_prior
+                + 0.25
+                * jax.nn.one_hot(jnp.arange(K) % M, M),
+                batch + (K, M),
+            )
+            init_state = HMMVMPState(trans_alpha, emis_alpha)
+
+        trans_prior_arr = jnp.full((K, K), trans_prior)
+        emis_prior_arr = jnp.full((K, M), emis_prior)
+
+        def vmp_iter(state: HMMVMPState, _):
+            # E[log θ] under the Dirichlet posteriors (digamma means).
+            log_A = Dirichlet(state.trans_alpha).mean_log()
+            log_B = Dirichlet(state.emis_alpha).mean_log()
+            # Per-step log-likelihoods under E[log B].
+            log_lik = jnp.einsum("...tm,...km->...tk", onehot, log_B)
+            post = hmm_forward_backward(log_lik, log_A, self.log_pi)
+            gamma = jnp.exp(post.log_gamma)  # (..., T, K)
+            # Expected counts -> conjugate updates.
+            trans_counts = jnp.exp(post.log_xi_sum)
+            emis_counts = jnp.einsum("...tk,...tm->...km", gamma, onehot)
+            new_state = HMMVMPState(
+                trans_prior_arr + trans_counts,
+                emis_prior_arr + emis_counts,
+            )
+            elbo = (
+                post.log_evidence
+                - jnp.sum(_dirichlet_kl(new_state.trans_alpha, trans_prior_arr), axis=-1)
+                - jnp.sum(_dirichlet_kl(new_state.emis_alpha, emis_prior_arr), axis=-1)
+            )
+            return new_state, elbo
+
+        final_state, elbos = lax.scan(
+            vmp_iter, init_state, None, length=n_iterations
+        )
+        # Final smoothing pass under the final posterior.
+        log_A = Dirichlet(final_state.trans_alpha).mean_log()
+        log_B = Dirichlet(final_state.emis_alpha).mean_log()
+        log_lik = jnp.einsum("...tm,...km->...tk", onehot, log_B)
+        post = hmm_forward_backward(log_lik, log_A, self.log_pi)
+        return HMMVMPResult(final_state, post, elbos[-1])

@@ -2,6 +2,7 @@
 
 from .mesh import P, make_mesh, replica_sharding, shard_replicas
 from .time_sharded import lgssm_smooth_time_sharded
+from .streaming import StreamingSession, stream_filter
 
 __all__ = [
     "make_mesh",
@@ -9,4 +10,6 @@ __all__ = [
     "shard_replicas",
     "P",
     "lgssm_smooth_time_sharded",
+    "StreamingSession",
+    "stream_filter",
 ]

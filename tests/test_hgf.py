@@ -1,0 +1,111 @@
+"""HGF streaming-filter tests: tracking, volatility detection, chunked
+streaming equivalence, replica sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cortex_tpu.models.hgf import HGF, HGFState
+from cortex_tpu.parallel import make_mesh, shard_replicas
+from cortex_tpu.parallel.streaming import StreamingSession, stream_filter
+
+
+def test_tracks_slowly_varying_signal():
+    rng = np.random.default_rng(0)
+    T = 300
+    x = np.sin(np.linspace(0, 6 * np.pi, T)) * 2.0
+    u = x + 0.1 * rng.normal(size=T)
+    hgf = HGF(pi_u=100.0, omega=-1.0)
+    _, traj = hgf.filter(jnp.asarray(u))
+    err = np.abs(np.asarray(traj.mu1[50:]) - x[50:])
+    assert err.mean() < 0.25
+
+
+def test_volatility_level_reacts_to_regime_change():
+    rng = np.random.default_rng(1)
+    # Quiet regime then volatile regime.
+    quiet = 0.05 * rng.normal(size=300)
+    loud = np.cumsum(1.0 * rng.normal(size=300))
+    u = np.concatenate([quiet, loud])
+    hgf = HGF(pi_u=100.0)
+    _, traj = hgf.filter(jnp.asarray(u))
+    mu2 = np.asarray(traj.mu2)
+    # Posterior volatility belief rises after the regime change.
+    assert mu2[550:].mean() > mu2[250:300].mean() + 0.5
+
+
+def test_step_and_filter_agree():
+    rng = np.random.default_rng(2)
+    u = rng.normal(size=20).astype(np.float32)
+    hgf = HGF()
+    state = hgf.init_state()
+    for t in range(20):
+        state, _ = hgf.step(state, jnp.asarray(u[t]))
+    final, _ = hgf.filter(jnp.asarray(u))
+    for got, want in zip(state, final):
+        assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+
+def test_precisions_stay_positive():
+    rng = np.random.default_rng(3)
+    u = (10.0 * rng.normal(size=500)).astype(np.float32)  # adversarially noisy
+    hgf = HGF(pi_u=1000.0, kappa=2.0)
+    _, traj = hgf.filter(jnp.asarray(u))
+    assert np.all(np.asarray(traj.pi1) > 0)
+    assert np.all(np.asarray(traj.pi2) > 0)
+    assert np.all(np.isfinite(np.asarray(traj.mu2)))
+
+
+def test_chunked_streaming_matches_batch_filter():
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=(8, 128)).astype(np.float32)  # 8 replicas
+    hgf = HGF()
+
+    batch_final, _ = hgf.filter(jnp.asarray(u))
+
+    chunk_step = jax.jit(lambda st, chunk: hgf.filter(chunk, state=st))
+    chunks = [u[:, i : i + 32] for i in range(0, 128, 32)]
+    stream_final, outs = stream_filter(chunk_step, chunks, hgf.init_state((8,)))
+    assert len(outs) == 4
+    for got, want in zip(stream_final, batch_final):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_streaming_session_matches_batch_filter():
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(4, 96)).astype(np.float32)
+    hgf = HGF()
+    batch_final, _ = hgf.filter(jnp.asarray(u))
+
+    session = StreamingSession(
+        jax.jit(lambda st, chunk: hgf.filter(chunk, state=st)),
+        hgf.init_state((4,)),
+    )
+    for i in range(0, 96, 16):
+        session.push(u[:, i : i + 16])
+    final = session.flush()
+    assert len(session.outputs) == 6
+    for got, want in zip(final, batch_final):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_replica_sharded_streaming():
+    """Online filtering over mesh-sharded replicas (the BASELINE config)."""
+    rng = np.random.default_rng(6)
+    u = rng.normal(size=(64, 50)).astype(np.float32)
+    hgf = HGF()
+    mesh = make_mesh()
+
+    u_sharded = shard_replicas(jnp.asarray(u), mesh)
+    state = jax.tree_util.tree_map(
+        lambda a: shard_replicas(a, mesh), hgf.init_state((64,))
+    )
+    step = jax.jit(lambda st, chunk: hgf.filter(chunk, state=st))
+    final, traj = step(state, u_sharded)
+
+    expected, _ = hgf.filter(jnp.asarray(u))
+    np.testing.assert_allclose(
+        np.asarray(final.mu1), np.asarray(expected.mu1), rtol=1e-5
+    )
