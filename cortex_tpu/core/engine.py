@@ -319,11 +319,9 @@ class InferenceEngine:
             variable = self.get_variable(variable_id)
             marginal = variable.marginal
             for dependency in marginal.get_dependencies():
-                dependency._is_potentially_pending = True
-                dependency._is_pending = False
+                dependency.mark_potentially_pending()
             for linked_signal in variable.linked_signals:
-                linked_signal._is_potentially_pending = True
-                linked_signal._is_pending = False
+                linked_signal.mark_potentially_pending()
             marginals.append(marginal)
         return InferenceRequest(self, variable_ids, marginals)
 

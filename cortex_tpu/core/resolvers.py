@@ -165,7 +165,7 @@ def _form_segment_tree(
         if message_to_right.get_listeners():
             message_to_right.add_dependency(left_dep, intermediate=True)
 
-    intermediate = create_inference_signal()
+    intermediate = left_dep.new_sibling()
     intermediate.set_variant(
         V.ProductOfMessages(variable_id, (start, stop), tuple(factor_ids))
     )
@@ -245,7 +245,7 @@ class StructuredResolver(DependencyResolver):
             if len(cluster) == 1:
                 deps.append(engine.get_variable_marginal(cluster[0]))
             else:
-                joint = create_inference_signal()
+                joint = engine.get_variable_marginal(cluster[0]).new_sibling()
                 joint.set_variant(V.JointMarginal(factor_id, tuple(cluster)))
                 for v_id in cluster:
                     engine.get_variable(v_id).link_signal(joint)

@@ -283,6 +283,20 @@ class Signal:
             return new_pending
         return False
 
+    def new_sibling(self) -> "Signal":
+        """Create a fresh inference signal compatible with this one (same
+        arena/backend).  Resolvers use it for intermediate signals so native
+        and Python graphs stay homogeneous."""
+        from .variants import create_inference_signal
+
+        return create_inference_signal()
+
+    def mark_potentially_pending(self) -> None:
+        """Flag this signal for lazy pending re-evaluation (used by inference
+        requests; reference ``src/inference_engine.jl:305-318``)."""
+        self._is_potentially_pending = True
+        self._is_pending = False
+
     # -- mutation ---------------------------------------------------------
     def set_value(self, value: Any) -> None:
         """Write ``value`` and notify active listeners.
