@@ -1,0 +1,156 @@
+"""Vector-state LGSSM smoothing: time-parallel associative scan with matrices.
+
+Generalizes :mod:`cortex_tpu.ops.chains` to d-dimensional states and
+m-dimensional observations:
+
+    x_t = A x_{t-1} + N(0, Q),    y_t = H x_t + N(0, R)
+
+using the parallel Kalman filter/smoother elements (Särkkä &
+García-Fernández 2020) with matrix combines — ``d×d`` solves and matmuls that
+map onto the MXU when batched over replicas.  The multivariate counterpart of
+the reference's 2-D joint-marginal computations
+(``test/inference_engine_tests.jl:949-979``), lifted to whole chains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["MvChainMarginals", "mv_lgssm_smooth"]
+
+
+class MvChainMarginals(NamedTuple):
+    mean: jax.Array  # (..., T, d)
+    cov: jax.Array  # (..., T, d, d)
+
+
+class _Elem(NamedTuple):
+    A: jax.Array
+    b: jax.Array
+    C: jax.Array
+    eta: jax.Array
+    J: jax.Array
+
+
+def _combine(e1: _Elem, e2: _Elem) -> _Elem:
+    """Matrix filtering combine (Särkkä 2020 eq. 10); e1 earlier, e2 later."""
+    d = e1.A.shape[-1]
+    I = jnp.eye(d, dtype=e1.A.dtype)
+    M = I + e1.C @ e2.J  # (..., d, d)
+    # solve(M, X) per batch; all solves share the LU of M.
+    A = e2.A @ jnp.linalg.solve(M, e1.A)
+    b = (e2.A @ jnp.linalg.solve(M, (e1.b + (e1.C @ e2.eta[..., None])[..., 0])[..., None]))[..., 0] + e2.b
+    C = e2.A @ jnp.linalg.solve(M, e1.C) @ _mT(e2.A) + e2.C
+    Mt = I + e2.J @ e1.C
+    eta = (_mT(e1.A) @ jnp.linalg.solve(Mt, (e2.eta - (e2.J @ e1.b[..., None])[..., 0])[..., None]))[..., 0] + e1.eta
+    J = _mT(e1.A) @ jnp.linalg.solve(Mt, e2.J) @ e1.A + e1.J
+    return _Elem(A, b, C, eta, J)
+
+
+class _SElem(NamedTuple):
+    E: jax.Array
+    g: jax.Array
+    L: jax.Array
+
+
+def _scombine(e1: _SElem, e2: _SElem) -> _SElem:
+    """Smoother combine, reverse direction; e1 later (closer to T), e2
+    earlier."""
+    return _SElem(
+        e2.E @ e1.E,
+        (e2.E @ e1.g[..., None])[..., 0] + e2.g,
+        e2.E @ e1.L @ _mT(e2.E) + e2.L,
+    )
+
+
+def _mT(x: jax.Array) -> jax.Array:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def mv_lgssm_smooth(
+    y: jax.Array,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior: Tuple[jax.Array, jax.Array],
+) -> MvChainMarginals:
+    """Exact RTS-equivalent marginals for a vector-state LGSSM.
+
+    Parameters
+    ----------
+    y: ``(..., T, m)`` observations (leading axes = replicas).
+    A, Q: ``(d, d)`` transition matrix / noise covariance.
+    H: ``(m, d)`` observation matrix; R: ``(m, m)`` observation noise.
+    prior: ``(m0 (d,), P0 (d, d))`` prior on the first state.
+
+    Time-parallel: O(log T) depth via two associative scans.
+    """
+    y = jnp.asarray(y)
+    A, Q, H, R = map(jnp.asarray, (A, Q, H, R))
+    m0, P0 = map(jnp.asarray, prior)
+    d = A.shape[-1]
+    T = y.shape[-2]
+    yT = jnp.moveaxis(y, -2, 0)  # (T, ..., m)
+    batch = yT.shape[1:-1]
+    I = jnp.eye(d, dtype=y.dtype)
+
+    # Generic elements (t >= 2); identical for all steps except the data term.
+    S = H @ Q @ _mT(H) + R  # (m, m)
+    K = _mT(jnp.linalg.solve(_mT(S), H @ _mT(Q)))  # Q Hᵀ S⁻¹, (d, m)
+    IKH = I - K @ H
+    A_g = IKH @ A
+    C_g = IKH @ Q
+    HtSi = _mT(jnp.linalg.solve(_mT(S), H))  # Hᵀ S⁻¹, (d?, m) -> (d, m)... (m,d)ᵀ
+    eta_coef = _mT(A) @ HtSi  # (d, m)
+    J_g = _mT(A) @ HtSi @ H @ A  # (d, d)
+
+    b_g = jnp.einsum("dm,t...m->t...d", K, yT[1:])
+    eta_g = jnp.einsum("dm,t...m->t...d", eta_coef, yT[1:])
+
+    def bcast(mat, leading):
+        return jnp.broadcast_to(mat, leading + mat.shape)
+
+    n_rest = (T - 1,) + batch
+    elems_rest = _Elem(
+        bcast(A_g, n_rest),
+        b_g,
+        bcast(C_g, n_rest),
+        eta_g,
+        bcast(J_g, n_rest),
+    )
+
+    # First element: filtered belief of x_1 under the prior.
+    S1 = H @ P0 @ _mT(H) + R
+    K1 = _mT(jnp.linalg.solve(_mT(S1), H @ _mT(P0)))  # P0 Hᵀ S1⁻¹
+    b1 = m0 + jnp.einsum("dm,...m->...d", K1, yT[0] - H @ m0)
+    C1 = (I - K1 @ H) @ P0
+    zeros_d = jnp.zeros(batch + (d,), y.dtype)
+    zeros_dd = jnp.zeros(batch + (d, d), y.dtype)
+    elem1 = _Elem(zeros_dd, b1, bcast(C1, batch), zeros_d, zeros_dd)
+
+    elems = jax.tree_util.tree_map(
+        lambda a, rest: jnp.concatenate([a[None], rest], axis=0), elem1, elems_rest
+    )
+
+    filtered = lax.associative_scan(_combine, elems, axis=0)
+    fm, fP = filtered.b, filtered.C  # (T, ..., d), (T, ..., d, d)
+
+    # Smoother elements.
+    Pp = A @ fP[:-1] @ _mT(A) + Q  # predicted covs
+    G = _mT(jnp.linalg.solve(_mT(Pp), A @ _mT(fP[:-1])))  # P_f Aᵀ Pp⁻¹
+    g = fm[:-1] - jnp.einsum("t...ij,t...j->t...i", G @ A, fm[:-1])
+    L = fP[:-1] - G @ Pp @ _mT(G)
+    selems = _SElem(
+        jnp.concatenate([G, jnp.zeros_like(G[:1])], axis=0),
+        jnp.concatenate([g, fm[-1:]], axis=0),
+        jnp.concatenate([L, fP[-1:]], axis=0),
+    )
+    smoothed = lax.associative_scan(_scombine, selems, axis=0, reverse=True)
+    return MvChainMarginals(
+        jnp.moveaxis(smoothed.g, 0, -2), jnp.moveaxis(smoothed.L, 0, -3)
+    )

@@ -1,0 +1,127 @@
+"""Pallas TPU kernels for the hot message-passing sweeps.
+
+:func:`lgssm_smooth_pallas` fuses the complete scalar-LGSSM BP sweep —
+forward messages, backward messages, and marginals — into ONE kernel: each
+grid step loads a ``(T, R_tile)`` block of observations into VMEM, runs both
+time recursions with the carry and the forward-message buffer resident in
+VMEM, and writes only the final marginal means/variances back to HBM.  No
+intermediate HBM traffic (the ``lax.scan`` path materializes the stacked
+forward messages between the two scans), so the sweep runs at the
+input/output bandwidth floor.
+
+Falls back to interpreter mode off-TPU so tests run on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chains import ChainMarginals
+
+__all__ = ["lgssm_smooth_pallas"]
+
+
+def _smooth_kernel(y_ref, mean_ref, var_ref, xi_f_ref, w_f_ref, *, A, Q, H, R):
+    """One replica tile: y_ref/(outputs) are (T, Rt) VMEM blocks."""
+    T = y_ref.shape[0]
+    w_obs = (H * H) / R
+
+    def xi_obs(t):
+        return H * y_ref[pl.ds(t, 1), :] / R  # (1, Rt)
+
+    # -- forward pass: store forward messages, carry the filtered belief ----
+    zero_row = jnp.zeros_like(y_ref[pl.ds(0, 1), :])
+    xi_f_ref[pl.ds(0, 1), :] = zero_row
+    w_f_ref[pl.ds(0, 1), :] = zero_row
+
+    def fwd(t, carry):
+        xi_c, w_c = carry  # filtered belief of x_{t-1}
+        m = xi_c / w_c
+        v = 1.0 / w_c
+        v_msg = A * A * v + Q
+        w_msg = 1.0 / v_msg
+        xi_msg = A * m * w_msg
+        xi_f_ref[pl.ds(t, 1), :] = xi_msg
+        w_f_ref[pl.ds(t, 1), :] = w_msg
+        return (xi_msg + xi_obs(t), w_msg + w_obs)
+
+    carry0 = (xi_obs(0), jnp.full_like(zero_row, w_obs))
+    lax.fori_loop(1, T, fwd, carry0)
+
+    # -- backward pass: emit marginals on the fly ---------------------------
+    xi_mT = xi_obs(T - 1) + xi_f_ref[pl.ds(T - 1, 1), :]
+    w_mT = w_obs + w_f_ref[pl.ds(T - 1, 1), :]
+    mean_ref[pl.ds(T - 1, 1), :] = xi_mT / w_mT
+    var_ref[pl.ds(T - 1, 1), :] = 1.0 / w_mT
+
+    def bwd(i, carry):
+        t = T - 2 - i
+        xi_b, w_b = carry  # right-belief at x_{t+1} (obs + bwd message)
+        m = xi_b / w_b
+        v = 1.0 / w_b
+        v_msg = (v + Q) / (A * A)
+        w_msg = 1.0 / v_msg
+        xi_msg = (m / A) * w_msg
+        xi_m = xi_obs(t) + xi_f_ref[pl.ds(t, 1), :] + xi_msg
+        w_m = w_obs + w_f_ref[pl.ds(t, 1), :] + w_msg
+        mean_ref[pl.ds(t, 1), :] = xi_m / w_m
+        var_ref[pl.ds(t, 1), :] = 1.0 / w_m
+        return (xi_obs(t) + xi_msg, w_obs + w_msg)
+
+    carryT = (xi_obs(T - 1), jnp.full_like(zero_row, w_obs))
+    lax.fori_loop(0, T - 1, bwd, carryT)
+
+
+@functools.partial(jax.jit, static_argnames=("A", "Q", "H", "R", "tile", "interpret"))
+def lgssm_smooth_pallas(
+    y: jax.Array,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    tile: int = 1024,
+    interpret: bool | None = None,
+) -> ChainMarginals:
+    """Fused BP smoothing sweep; ``y``: ``(n_replicas, T)`` float32.
+
+    Identical marginals to :func:`~cortex_tpu.ops.chains.lgssm_smooth_scan`
+    (no-prior convention).  Replicas are tiled over the grid; ``T`` stays
+    resident per tile.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n, T = y.shape
+    pad = (-n) % tile
+    if pad:
+        y = jnp.concatenate([y, jnp.ones((pad, T), y.dtype)], axis=0)
+    n_padded = y.shape[0]
+    yT = y.T  # (T, n_padded)
+
+    kernel = functools.partial(_smooth_kernel, A=A, Q=Q, H=H, R=R)
+    grid = (n_padded // tile,)
+    block = pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mean, var = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block],
+        out_specs=(block, block),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, n_padded), y.dtype),
+            jax.ShapeDtypeStruct((T, n_padded), y.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, tile), y.dtype),
+            pltpu.VMEM((T, tile), y.dtype),
+        ],
+        interpret=interpret,
+    )(yT)
+    mean = mean.T[:n]
+    var = var.T[:n]
+    return ChainMarginals(mean, var)

@@ -1,0 +1,116 @@
+"""Vector-state LGSSM tests vs a dense NumPy Kalman/RTS oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cortex_tpu.ops.chains_mv import mv_lgssm_smooth
+
+
+def numpy_rts_mv(y, A, Q, H, R, m0, P0):
+    T = y.shape[0]
+    d = A.shape[0]
+    fm = np.zeros((T, d))
+    fP = np.zeros((T, d, d))
+    m, P = m0, P0
+    for t in range(T):
+        if t > 0:
+            m, P = A @ m, A @ P @ A.T + Q
+        S = H @ P @ H.T + R
+        K = P @ H.T @ np.linalg.inv(S)
+        m = m + K @ (y[t] - H @ m)
+        P = P - K @ H @ P
+        fm[t], fP[t] = m, P
+    sm = np.zeros_like(fm)
+    sP = np.zeros_like(fP)
+    sm[-1], sP[-1] = fm[-1], fP[-1]
+    for t in range(T - 2, -1, -1):
+        Pp = A @ fP[t] @ A.T + Q
+        G = fP[t] @ A.T @ np.linalg.inv(Pp)
+        sm[t] = fm[t] + G @ (sm[t + 1] - A @ fm[t])
+        sP[t] = fP[t] + G @ (sP[t + 1] - Pp) @ G.T
+    return sm, sP
+
+
+def _random_system(rng, d, m):
+    A = 0.9 * np.linalg.qr(rng.normal(size=(d, d)))[0]
+    Lq = rng.normal(size=(d, d)) * 0.3
+    Q = Lq @ Lq.T + 0.1 * np.eye(d)
+    H = rng.normal(size=(m, d))
+    Lr = rng.normal(size=(m, m)) * 0.3
+    R = Lr @ Lr.T + 0.2 * np.eye(m)
+    m0 = rng.normal(size=d)
+    P0 = np.eye(d) * 2.0
+    return A, Q, H, R, m0, P0
+
+
+@pytest.mark.parametrize("d,m", [(2, 1), (3, 2), (4, 4)])
+def test_mv_smoother_matches_numpy_rts(d, m):
+    rng = np.random.default_rng(0)
+    T = 30
+    A, Q, H, R, m0, P0 = _random_system(rng, d, m)
+    y = rng.normal(size=(T, m)).astype(np.float64)
+
+    result = mv_lgssm_smooth(
+        jnp.asarray(y),
+        jnp.asarray(A),
+        jnp.asarray(Q),
+        jnp.asarray(H),
+        jnp.asarray(R),
+        (jnp.asarray(m0), jnp.asarray(P0)),
+    )
+    sm, sP = numpy_rts_mv(y, A, Q, H, R, m0, P0)
+    np.testing.assert_allclose(np.asarray(result.mean), sm, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(result.cov), sP, rtol=5e-3, atol=5e-3)
+
+
+def test_mv_smoother_batched_replicas():
+    rng = np.random.default_rng(1)
+    d, m, T, B = 2, 1, 20, 6
+    A, Q, H, R, m0, P0 = _random_system(rng, d, m)
+    ys = rng.normal(size=(B, T, m))
+
+    result = mv_lgssm_smooth(
+        jnp.asarray(ys),
+        jnp.asarray(A),
+        jnp.asarray(Q),
+        jnp.asarray(H),
+        jnp.asarray(R),
+        (jnp.asarray(m0), jnp.asarray(P0)),
+    )
+    assert result.mean.shape == (B, T, d)
+    assert result.cov.shape == (B, T, d, d)
+    for b in [0, 3]:
+        sm, sP = numpy_rts_mv(ys[b], A, Q, H, R, m0, P0)
+        np.testing.assert_allclose(
+            np.asarray(result.mean[b]), sm, rtol=5e-3, atol=5e-3
+        )
+
+
+def test_mv_reduces_to_scalar_case():
+    from cortex_tpu.ops import lgssm_smooth_scan
+
+    rng = np.random.default_rng(2)
+    T = 25
+    y = rng.normal(size=T).cumsum()
+    result = mv_lgssm_smooth(
+        jnp.asarray(y[:, None]),
+        jnp.asarray([[0.9]]),
+        jnp.asarray([[0.5]]),
+        jnp.asarray([[1.0]]),
+        jnp.asarray([[1.2]]),
+        (jnp.asarray([0.0]), jnp.asarray([[3.0]])),
+    )
+    scalar = lgssm_smooth_scan(
+        jnp.asarray(y), A=0.9, Q=0.5, H=1.0, R=1.2, prior=(0.0, 3.0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.mean[:, 0]), np.asarray(scalar.mean), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.cov[:, 0, 0]),
+        np.asarray(scalar.variance),
+        rtol=1e-3,
+        atol=1e-3,
+    )
