@@ -66,6 +66,17 @@ class Beta:
             + (a + b - 2.0) * digamma(a + b)
         )
 
+    def kl(self, other: "Beta") -> jax.Array:
+        """KL(self ‖ other)."""
+        a1, b1, a2, b2 = self.a, self.b, other.a, other.b
+        return (
+            betaln(a2, b2)
+            - betaln(a1, b1)
+            + (a1 - a2) * digamma(a1)
+            + (b1 - b2) * digamma(b1)
+            + (a2 - a1 + b2 - b1) * digamma(a1 + b1)
+        )
+
     def sample(self, key: jax.Array, shape: Tuple[int, ...] = ()) -> jax.Array:
         return jax.random.beta(key, self.a, self.b, shape + jnp.shape(self.a))
 
@@ -125,6 +136,17 @@ class Gamma:
         a = self.shape
         return a - jnp.log(self.rate) + gammaln(a) + (1.0 - a) * digamma(a)
 
+    def kl(self, other: "Gamma") -> jax.Array:
+        """KL(self ‖ other)."""
+        a1, b1, a2, b2 = self.shape, self.rate, other.shape, other.rate
+        return (
+            (a1 - a2) * digamma(a1)
+            - gammaln(a1)
+            + gammaln(a2)
+            + a2 * (jnp.log(b1) - jnp.log(b2))
+            + a1 * (b2 - b1) / b1
+        )
+
     def sample(self, key: jax.Array, shape: Tuple[int, ...] = ()) -> jax.Array:
         return (
             jax.random.gamma(key, self.shape, shape + jnp.shape(self.shape))
@@ -170,6 +192,15 @@ class Bernoulli:
         p = self.prob
         return -(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
 
+    def kl(self, other: "Bernoulli") -> jax.Array:
+        """KL(self ‖ other) via the softplus log-normalizers."""
+        p = self.prob
+        return (
+            p * (self.logit - other.logit)
+            - jax.nn.softplus(self.logit)
+            + jax.nn.softplus(other.logit)
+        )
+
     def sample(self, key: jax.Array, shape: Tuple[int, ...] = ()) -> jax.Array:
         return jax.random.bernoulli(key, self.prob, shape + jnp.shape(self.logit))
 
@@ -210,6 +241,17 @@ class Categorical:
         p = self.probs
         logp = jax.nn.log_softmax(self.logits, axis=-1)
         return -jnp.sum(p * logp, axis=-1)
+
+    def kl(self, other: "Categorical") -> jax.Array:
+        p = self.probs
+        return jnp.sum(
+            p
+            * (
+                jax.nn.log_softmax(self.logits, axis=-1)
+                - jax.nn.log_softmax(other.logits, axis=-1)
+            ),
+            axis=-1,
+        )
 
     def sample(self, key: jax.Array, shape: Tuple[int, ...] = ()) -> jax.Array:
         return jax.random.categorical(
@@ -253,6 +295,17 @@ class Dirichlet:
             self.log_normalizer()
             + (a0 - k) * digamma(a0)
             - jnp.sum((a - 1.0) * digamma(a), axis=-1)
+        )
+
+    def kl(self, other: "Dirichlet") -> jax.Array:
+        a1, a2 = self.alpha, other.alpha
+        s1 = jnp.sum(a1, axis=-1)
+        return (
+            gammaln(s1)
+            - jnp.sum(gammaln(a1), axis=-1)
+            - gammaln(jnp.sum(a2, axis=-1))
+            + jnp.sum(gammaln(a2), axis=-1)
+            + jnp.sum((a1 - a2) * (digamma(a1) - digamma(s1)[..., None]), axis=-1)
         )
 
     def sample(self, key: jax.Array, shape: Tuple[int, ...] = ()) -> jax.Array:

@@ -18,7 +18,40 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "replica_sharding", "shard_replicas", "P"]
+__all__ = [
+    "make_mesh",
+    "replica_sharding",
+    "shard_replicas",
+    "P",
+    "init_distributed",
+]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (`jax.distributed.initialize`) and return the
+    global device count.
+
+    On a multi-host TPU pod slice the arguments are auto-detected from the
+    environment; pass them explicitly elsewhere.  After initialization,
+    :func:`make_mesh` sees the global device set, with the ``replica`` axis
+    naturally spanning DCN (hosts) and inner axes spanning ICI.  No-ops when
+    already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Already initialized (or single-process default backend): proceed.
+        if "already initialized" not in str(e).lower():
+            raise
+    return len(jax.devices())
 
 
 def make_mesh(
