@@ -6,10 +6,21 @@ from .chains import (
     lgssm_smooth_assoc,
     lgssm_smooth_scan,
 )
+from .chains_mv import MvChainMarginals, mv_lgssm_smooth
+from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
+from .pallas_kernels import lgssm_smooth_pallas
+from .pallas_hmm import hmm_forward_backward_pallas
 
 __all__ = [
     "ChainMarginals",
     "lgssm_smooth_scan",
     "lgssm_smooth_assoc",
     "lgssm_messages_scan",
+    "MvChainMarginals",
+    "mv_lgssm_smooth",
+    "HMMPosterior",
+    "hmm_forward_backward",
+    "hmm_viterbi",
+    "lgssm_smooth_pallas",
+    "hmm_forward_backward_pallas",
 ]
