@@ -1,6 +1,12 @@
 """Static schedule compiler: signal DAG → phased, type-batched XLA programs."""
 
-from .schedule import ComputeStep, PhaseGroup, StaticSchedule, extract_schedule
+from .schedule import (
+    ComputeStep,
+    PhaseGroup,
+    StaticSchedule,
+    dep_role_key,
+    extract_schedule,
+)
 from .executor import (
     BatchedProcessor,
     CompiledInference,
@@ -14,6 +20,7 @@ __all__ = [
     "PhaseGroup",
     "StaticSchedule",
     "extract_schedule",
+    "dep_role_key",
     "BatchedProcessor",
     "CompiledInference",
     "product_reduce",

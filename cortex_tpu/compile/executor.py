@@ -129,10 +129,13 @@ class CompiledInference:
         engine: InferenceEngine,
         variable_ids: Sequence[int],
         processor: BatchedProcessor,
+        refine_key=None,
     ) -> None:
         self.engine = engine
         self.processor = processor
-        self.schedule: StaticSchedule = extract_schedule(engine, variable_ids)
+        self.schedule: StaticSchedule = extract_schedule(
+            engine, variable_ids, refine_key=refine_key
+        )
         self._source_index: Dict[int, int] = {
             id(s): i for i, s in enumerate(self.schedule.sources)
         }
@@ -208,7 +211,9 @@ class CompiledInference:
                     values[id(st.signal)] = val
 
         marginals = {
-            vid: values[id(sig)] for vid, sig in self.schedule.targets.items()
+            vid: values[id(sig)]
+            for vid, sig in self.schedule.targets.items()
+            if id(sig) in values
         }
         new_state = [values[id(s)] for s in self.schedule.initials]
         return marginals, new_state

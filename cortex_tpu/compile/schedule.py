@@ -62,6 +62,7 @@ class StaticSchedule:
     initials: List[Signal]  # computed at compile time (VMP initial marginals)
     targets: Dict[int, Signal]  # variable_id -> marginal signal
     linked: Dict[int, List[Signal]]  # variable_id -> linked signals
+    skipped: List[Signal]  # visitable but never computable (match dynamic)
 
     @property
     def num_steps(self) -> int:
@@ -89,11 +90,39 @@ def _rule_key(engine: InferenceEngine, signal: Signal) -> Tuple[str, Optional[An
     return (kind, form, len(signal.get_dependencies()))
 
 
+def _signal_role(engine: InferenceEngine, signal: Signal) -> str:
+    variant = signal.variant
+    if isinstance(
+        variant,
+        (V.IndividualMarginal, V.MessageToFactor, V.MessageToVariable, V.ProductOfMessages),
+    ):
+        return engine.get_variable(variant.variable_id).name
+    return type(variant).__name__
+
+
+def dep_role_key(engine: InferenceEngine, signal: Signal):
+    """A ready-made key refinement: ``(own role, dependency roles)`` where a
+    role is the associated variable's name (marginals, messages, products) or
+    the variant kind otherwise.
+
+    Use as ``extract_schedule(..., refine_key=dep_role_key)`` when the default
+    ``(variant, factor form, arity)`` key hides semantically different rules —
+    e.g. mean-field VMP where the message to ``x`` depends on ``(q(y),
+    q(noise))`` while the message to ``noise`` depends on ``(q(y), q(x))``
+    (cf. the reference's name-dispatching test processor,
+    ``test/inference_engine_tests.jl:653-696``)."""
+    roles = tuple(
+        _signal_role(engine, dep) for dep in signal.get_dependencies()
+    )
+    return (_signal_role(engine, signal), roles)
+
+
 def extract_schedule(
     engine: InferenceEngine,
     variable_ids: Sequence[int],
     *,
     treat_computed_as_sources: bool = True,
+    refine_key=None,
 ) -> StaticSchedule:
     """Extract the static schedule for updating the marginals of
     ``variable_ids`` (the compile-time analogue of ``update_marginals!``).
@@ -102,6 +131,10 @@ def extract_schedule(
     with ``set_value``) become *initials*: their current slot is an input to
     the first iteration, and they are ALSO scheduled for recomputation when
     they have dependencies (the VMP fixed-point update).
+
+    ``refine_key``: optional ``(engine, signal) -> hashable`` appended to the
+    default rule key, splitting groups whose default key hides semantically
+    different rules (see :func:`dep_role_key`).
     """
     if isinstance(variable_ids, int):
         variable_ids = (variable_ids,)
@@ -116,32 +149,91 @@ def extract_schedule(
         roots.append(variable.marginal)
         roots.extend(variable.linked_signals)
 
-    # -- backward reachability -------------------------------------------
-    needed: List[Signal] = []
-    seen: set = set()
-    stack = list(roots)
-    while stack:
-        s = stack.pop()
-        if id(s) in seen:
-            continue
-        seen.add(id(s))
-        needed.append(s)
-        for dep in s.get_dependencies():
-            stack.append(dep)
+    # -- visitability: mirror process_dependencies' traversal ---------------
+    # The dynamic engine applies its callback to every direct dependency of a
+    # walked signal but recurses only through *intermediate*-flagged edges
+    # (reference ``src/signal.jl:466-490``).  Only visitable signals can ever
+    # be computed by this request; everything else is a read.
+    visitable: Dict[int, Signal] = {}
+    recursed: set = set()
 
-    sources: List[Signal] = []
+    def visit(s: Signal) -> None:
+        if id(s) in recursed:
+            return
+        recursed.add(id(s))
+        deps = s.get_dependencies()
+        for i, dep in enumerate(deps):
+            visitable.setdefault(id(dep), dep)
+            if s.dep_is_intermediate(i):
+                visit(dep)
+
+    for root in roots:
+        visitable.setdefault(id(root), root)
+        visit(root)
+
+    # -- computability fixpoint --------------------------------------------
+    # A visitable signal with dependencies is computable iff every dependency
+    # is available: a user-provided source, a compile-time-computed value, or
+    # itself computable.  (Matches the dynamic engine: a signal whose inputs
+    # can never all become computed never pends and is silently skipped.)
+    candidates = [s for s in visitable.values() if s.get_dependencies()]
+    candidate_ids = {id(s) for s in candidates}
+    known: Dict[int, Signal] = dict(visitable)
+    for s in visitable.values():
+        for dep in s.get_dependencies():
+            known.setdefault(id(dep), dep)
+    # Non-candidates: computed → frozen reads; uncomputed & depless → inputs.
+    fixed_computed_ids = {
+        i
+        for i, s in known.items()
+        if i not in candidate_ids and s.is_computed()
+    }
+    source_ids = {
+        i
+        for i, s in known.items()
+        if i not in candidate_ids
+        and not s.is_computed()
+        and not s.get_dependencies()
+    }
+
+    computable_set = set(candidate_ids)
+    changed = True
+    while changed:
+        changed = False
+        for s in candidates:
+            if id(s) not in computable_set:
+                continue
+            for dep in s.get_dependencies():
+                did = id(dep)
+                available = (
+                    did in computable_set
+                    or did in source_ids
+                    or did in fixed_computed_ids
+                    or dep.is_computed()  # computed but excluded candidate
+                )
+                if not available:
+                    computable_set.discard(id(s))
+                    changed = True
+                    break
+
+    skipped = [
+        s
+        for s in candidates
+        if id(s) not in computable_set and not s.is_computed()
+    ]
+    computable = [s for s in candidates if id(s) in computable_set]
+
+    # Iteration state ("initials"): every compile-time-computed signal that
+    # participates — frozen reads (observed marginals, excluded candidates)
+    # and computed computables (VMP marginals, re-computed each sweep but
+    # read stale through weak edges on the first one).
     initials: List[Signal] = []
-    computable: List[Signal] = []
-    for s in needed:
-        if not s.get_dependencies():
-            if s.is_computed():
-                initials.append(s)
-            else:
-                sources.append(s)
-        else:
-            if s.is_computed() and treat_computed_as_sources:
-                initials.append(s)
-            computable.append(s)
+    seen_init: set = set()
+    for i, s in known.items():
+        if s.is_computed() and treat_computed_as_sources and id(s) not in seen_init:
+            seen_init.add(id(s))
+            initials.append(s)
+    sources = [known[i] for i in source_ids]
 
     # -- phase assignment: longest path over strong edges ------------------
     # Weak edges are ordering-free (previous-iteration values).  Strong edges
@@ -158,10 +250,9 @@ def extract_schedule(
 
     def strong_deps(s: Signal) -> List[Signal]:
         out = []
-        props = s._deps_props
         deps = s.get_dependencies()
         for i, d in enumerate(deps):
-            if not props.is_weak(i) and id(d) in computable_ids:
+            if not s.dep_is_weak(i) and id(d) in computable_ids:
                 out.append(d)
         return out
 
@@ -208,12 +299,12 @@ def extract_schedule(
         for s in computable:
             if phase_of[id(s)] != p:
                 continue
-            props = s._deps_props
             deps = s.get_dependencies()
-            weak_mask = tuple(props.is_weak(i) for i in range(len(deps)))
-            groups[_rule_key(engine, s)].append(
-                ComputeStep(s, s.variant, list(deps), weak_mask)
-            )
+            weak_mask = tuple(s.dep_is_weak(i) for i in range(len(deps)))
+            key = _rule_key(engine, s)
+            if refine_key is not None:
+                key = key + (refine_key(engine, s),)
+            groups[key].append(ComputeStep(s, s.variant, list(deps), weak_mask))
         phases.append([PhaseGroup(k, steps) for k, steps in groups.items()])
 
-    return StaticSchedule(phases, sources, initials, targets, linked)
+    return StaticSchedule(phases, sources, initials, targets, linked, skipped)

@@ -283,6 +283,15 @@ class Signal:
             return new_pending
         return False
 
+    def dep_is_weak(self, i: int) -> bool:
+        return self._deps_props.is_weak(i)
+
+    def dep_is_intermediate(self, i: int) -> bool:
+        return self._deps_props.is_intermediate(i)
+
+    def dep_is_fresh(self, i: int) -> bool:
+        return self._deps_props.is_fresh(i)
+
     def new_sibling(self) -> "Signal":
         """Create a fresh inference signal compatible with this one (same
         arena/backend).  Resolvers use it for intermediate signals so native

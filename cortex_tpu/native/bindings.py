@@ -221,6 +221,23 @@ class NativeSignal:
         self.value = value
         self._engine._lib.ce_set_value(self._engine._handle, self._sid)
 
+    def dep_is_weak(self, i: int) -> bool:
+        return bool(
+            self._engine._lib.ce_is_dep_weak(self._engine._handle, self._sid, i)
+        )
+
+    def dep_is_intermediate(self, i: int) -> bool:
+        return bool(
+            self._engine._lib.ce_is_dep_intermediate(
+                self._engine._handle, self._sid, i
+            )
+        )
+
+    def dep_is_fresh(self, i: int) -> bool:
+        return bool(
+            self._engine._lib.ce_is_dep_fresh(self._engine._handle, self._sid, i)
+        )
+
     def new_sibling(self) -> "NativeSignal":
         """Fresh inference signal in the same native arena (see
         ``Signal.new_sibling``)."""

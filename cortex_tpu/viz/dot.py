@@ -83,16 +83,15 @@ def signal_to_dot(
         if depth >= max_depth:
             return
         deps = s.get_dependencies()
-        props = s._deps_props
         for i, dep in enumerate(deps[:max_dependencies]):
             did = node_id(dep)
             styles = []
-            if props.is_weak(i):
+            if s.dep_is_weak(i):
                 styles.append("dashed")
             color = "black"
-            if props.is_intermediate(i):
+            if s.dep_is_intermediate(i):
                 color = "gray"
-            if props.is_fresh(i):
+            if s.dep_is_fresh(i):
                 color = "blue"
             style_attr = f', style="{",".join(styles)}"' if styles else ""
             lines.append(f"  {sid} -> {did} [color={color}{style_attr}];")

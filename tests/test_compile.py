@@ -82,11 +82,32 @@ def test_schedule_cycle_detection():
     b = create_inference_signal()
     a.set_variant(V.IndividualMarginal(v))
     b.set_variant(V.IndividualMarginal(v))
+    a.add_dependency(b, intermediate=True)
+    b.add_dependency(a, intermediate=True)
+    engine.get_variable(v).marginal.add_dependency(a, intermediate=True)
+    with pytest.raises(ValueError, match="cycle"):
+        extract_schedule(engine, [v])
+
+
+def test_schedule_skips_never_computable_signals():
+    """A strong cycle behind non-intermediate edges is unreachable for the
+    dynamic engine (its signals never pend); the compiler skips it instead of
+    erroring — matching dynamic semantics."""
+    from cortex_tpu import create_inference_signal, variants as V
+
+    g = BipartiteFactorGraph()
+    v = g.add_variable(Variable(name="v"))
+    engine = InferenceEngine(model_engine=g, resolve_dependencies=False)
+    a = create_inference_signal()
+    b = create_inference_signal()
+    a.set_variant(V.IndividualMarginal(v))
+    b.set_variant(V.IndividualMarginal(v))
     a.add_dependency(b)
     b.add_dependency(a)
     engine.get_variable(v).marginal.add_dependency(a)
-    with pytest.raises(ValueError, match="cycle"):
-        extract_schedule(engine, [v])
+    sched = extract_schedule(engine, [v])
+    assert sched.num_steps == 0
+    assert len(sched.skipped) >= 2  # a and the marginal itself
 
 
 # -- batched execution ------------------------------------------------------

@@ -1,0 +1,180 @@
+"""The reference's mean-field VMP SSM through the COMPILED path.
+
+The gold model of ``test/inference_engine_tests.jl:593-805`` (unknown process
+and observation precisions) executed as a static batched program with
+role-refined rule groups, iterated to the VMP fixed point.  Must recover the
+true precisions like the dynamic engine does.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cortex_tpu import (
+    BipartiteFactorGraph,
+    Connection,
+    Factor,
+    InferenceEngine,
+    MeanFieldResolver,
+    Variable,
+)
+from cortex_tpu.compile import BatchedProcessor, CompiledInference, dep_role_key
+from cortex_tpu.dists import Gamma, Gaussian, from_mean_precision
+
+
+class MeanFieldSSMBatched(BatchedProcessor):
+    """Batched mean-field rules, routed on the role-refined group key
+    (the compiled analogue of the reference's name-dispatching processor,
+    ``test/inference_engine_tests.jl:653-696``)."""
+
+    def dispatch(self, engine, group, dep_values):
+        kind = group.key[0]
+        if kind == "IndividualMarginal":
+            return self.compute_individual_marginal(engine, None, dep_values)
+        assert kind == "MessageToVariable"
+        own_role, dep_roles = group.key[3]
+
+        if dep_roles == ("y", "obsnoise"):
+            # Message to x from likelihood: N(y, E[tau_obs]).
+            y, q_obs = dep_values
+            return from_mean_precision(y, q_obs.mean)
+        if dep_roles == ("y", "x"):
+            # Message to obsnoise: Gamma(3/2, rate=(var+PE^2)/2).
+            y, q_x = dep_values
+            rate = 0.5 * (q_x.variance + (y - q_x.mean) ** 2)
+            return Gamma(jnp.full_like(rate, 1.5), rate)
+        if dep_roles == ("x", "ssnoise"):
+            # Message to x from transition: N(mean(q_x_other), E[tau_ss]).
+            q_x, q_ss = dep_values
+            return from_mean_precision(q_x.mean, q_ss.mean)
+        if dep_roles == ("x", "x"):
+            # Message to ssnoise.
+            q1, q2 = dep_values
+            rate = 0.5 * (q1.variance + q2.variance + (q1.mean - q2.mean) ** 2)
+            return Gamma(jnp.full_like(rate, 1.5), rate)
+        raise RuntimeError(f"Unknown group roles: {group.key}")
+
+
+def make_model(n, observations):
+    g = BipartiteFactorGraph()
+    ssnoise = g.add_variable(Variable(name="ssnoise"))
+    obsnoise = g.add_variable(Variable(name="obsnoise"))
+    x = [g.add_variable(Variable(name="x", index=(i,))) for i in range(n)]
+    y = [g.add_variable(Variable(name="y", index=(i,))) for i in range(n)]
+    likelihood = [g.add_factor(Factor(functional_form="likelihood")) for _ in range(n)]
+    transition = [
+        g.add_factor(Factor(functional_form="transition")) for _ in range(n - 1)
+    ]
+    for i in range(n):
+        g.add_edge(y[i], likelihood[i], Connection(label="out"))
+        g.add_edge(x[i], likelihood[i], Connection(label="out"))
+        g.add_edge(obsnoise, likelihood[i], Connection(label="out"))
+    for i in range(n - 1):
+        g.add_edge(x[i], transition[i], Connection(label="out"))
+        g.add_edge(x[i + 1], transition[i], Connection(label="in"))
+        g.add_edge(ssnoise, transition[i], Connection(label="out"))
+    engine = InferenceEngine(model_engine=g, dependency_resolver=MeanFieldResolver())
+
+    # Initial marginals (compile-time state) + frozen observed y marginals.
+    engine.get_variable_marginal(ssnoise).set_value(
+        Gamma(jnp.asarray(1.0), jnp.asarray(1.0))
+    )
+    engine.get_variable_marginal(obsnoise).set_value(
+        Gamma(jnp.asarray(1.0), jnp.asarray(1.0))
+    )
+    for i in range(n):
+        engine.get_variable_marginal(x[i]).set_value(from_mean_precision(0.0, 1.0))
+        engine.get_variable_marginal(y[i]).set_value(jnp.asarray(observations[i]))
+    return engine, x, y, ssnoise, obsnoise
+
+
+def test_compiled_mean_field_vmp_recovers_precisions():
+    rng = np.random.default_rng(1234)
+    n = 100
+    ssnoise_real = obsnoise_real = 100.0
+    walk = [0.0]
+    for _ in range(1, n):
+        walk.append(walk[-1] + rng.normal() / np.sqrt(ssnoise_real))
+    observations = [
+        float(w + rng.normal() / np.sqrt(obsnoise_real)) for w in walk
+    ]
+
+    engine, x, y, ssnoise, obsnoise = make_model(n, observations)
+    compiled = CompiledInference(
+        engine,
+        [ssnoise, obsnoise] + x,
+        MeanFieldSSMBatched(),
+        refine_key=dep_role_key,
+    )
+
+    sched = compiled.schedule
+    # Observed y marginals are frozen reads (initials), never recomputed.
+    y_marg_ids = {id(engine.get_variable_marginal(v)) for v in y}
+    scheduled_ids = {
+        id(st.signal) for ph in sched.phases for gr in ph for st in gr.steps
+    }
+    assert not (y_marg_ids & scheduled_ids)
+    assert y_marg_ids <= {id(s) for s in sched.initials}
+    # Messages batch into a handful of role groups (not O(n) groups).
+    n_groups = sum(len(ph) for ph in sched.phases)
+    assert n_groups <= 12
+
+    marginals, state = compiled.iterate({}, n_iterations=50)
+    q_ss = marginals[ssnoise]
+    q_obs = marginals[obsnoise]
+    # The compiled path runs *synchronous* mean-field sweeps (all messages
+    # from stale marginals, then all marginals); its fixed point differs
+    # slightly from the dynamic engine's sequential coordinate updates.  The
+    # recovery criterion is scale: both precisions far above the prior mean 1
+    # (truth 100).  Exact cross-path agreement on identical data is asserted
+    # in test_compiled_vmp_matches_dynamic_fixed_point.
+    assert float(q_ss.mean) > 20.0
+    assert float(q_obs.mean) > 20.0
+    # State marginals are Gaussians tracking the walk.
+    errs = [abs(float(marginals[x[i]].mean) - walk[i]) for i in range(n)]
+    assert np.mean(errs) < 0.1
+
+
+def test_compiled_vmp_matches_dynamic_fixed_point():
+    """Both paths converge to the same mean-field fixed point."""
+    from tests.test_inference_engine import (
+        make_mean_field_ssm_model,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 30
+    observations = [float(v) for v in np.cumsum(rng.normal(size=n) * 0.1)]
+
+    # Dynamic path (scalar python algebra).
+    engine_d, x_d, y_d, obsnoise_d, ssnoise_d = make_mean_field_ssm_model(n)
+    for i in range(n):
+        engine_d.get_variable_marginal(y_d[i]).set_value(observations[i])
+    for _ in range(60):
+        engine_d.update_marginals([ssnoise_d, obsnoise_d] + x_d)
+    dyn_ss = engine_d.get_variable_marginal(ssnoise_d).get_value()
+    dyn_obs = engine_d.get_variable_marginal(obsnoise_d).get_value()
+    dyn_x0 = engine_d.get_variable_marginal(x_d[0]).get_value()
+
+    # Compiled path.
+    engine_c, x_c, y_c, ssnoise_c, obsnoise_c = make_model(n, observations)
+    compiled = CompiledInference(
+        engine_c,
+        [ssnoise_c, obsnoise_c] + x_c,
+        MeanFieldSSMBatched(),
+        refine_key=dep_role_key,
+    )
+    marginals, _ = compiled.iterate({}, n_iterations=60)
+
+    from tests.test_inference_engine import mean as dyn_mean
+
+    assert float(marginals[ssnoise_c].mean) == pytest.approx(
+        dyn_mean(dyn_ss), rel=2e-2
+    )
+    assert float(marginals[obsnoise_c].mean) == pytest.approx(
+        dyn_mean(dyn_obs), rel=2e-2
+    )
+    assert float(marginals[x_c[0]].mean) == pytest.approx(
+        dyn_x0.mean, rel=2e-2, abs=1e-3
+    )
