@@ -184,21 +184,8 @@ class CompiledInference:
         return values
 
     # -- execution ---------------------------------------------------------
-    def run(
-        self,
-        inputs: Mapping[Any, Any],
-        state: Optional[Sequence[Any]] = None,
-    ) -> Tuple[Dict[int, Any], List[Any]]:
-        """Execute one full sweep.  Returns ``(marginals, new_state)`` where
-        ``marginals`` maps variable_id → value and ``new_state`` carries the
-        updated iteration state (for VMP fixed-point loops)."""
-        values: Dict[int, Any] = self._resolve_inputs(inputs)
-        if state is None:
-            state = self.initial_state()
-        for sig, val in zip(self.schedule.initials, state):
-            values[id(sig)] = val
-
-        for phase in self.schedule.phases:
+    def _execute_phases(self, values: Dict[int, Any], phases) -> None:
+        for phase in phases:
             for group in phase:
                 n_deps = group.key[2]
                 dep_values = []
@@ -210,6 +197,41 @@ class CompiledInference:
                 for st, val in zip(group.steps, tree_unstack(out, len(group.steps))):
                     values[id(st.signal)] = val
 
+    def jacobi_phases(self):
+        """The steady-state sweep: ALL steps batched into one phase, grouped
+        by rule key, every dependency reading the *previous* sweep's value
+        (pure Jacobi iteration).  Maximally batched — a chain model's O(n)
+        dataflow phases collapse to one rule call per group — at the price of
+        roughly 2x the iterations to the same fixed point.  Only valid once
+        every scheduled signal has a value (after one dataflow sweep)."""
+        if getattr(self, "_jacobi_cache", None) is None:
+            groups: Dict[Any, PhaseGroup] = {}
+            for phase in self.schedule.phases:
+                for group in phase:
+                    if group.key in groups:
+                        groups[group.key].steps.extend(group.steps)
+                    else:
+                        groups[group.key] = PhaseGroup(group.key, list(group.steps))
+            self._jacobi_cache = [
+                [groups[k] for k in sorted(groups, key=repr)]
+            ]
+        return self._jacobi_cache
+
+    def run(
+        self,
+        inputs: Mapping[Any, Any],
+        state: Optional[Sequence[Any]] = None,
+    ) -> Tuple[Dict[int, Any], List[Any]]:
+        """Execute one full (dataflow-ordered) sweep.  Returns ``(marginals,
+        new_state)`` where ``marginals`` maps variable_id → value and
+        ``new_state`` carries the updated iteration state (for VMP fixed-point
+        loops)."""
+        values: Dict[int, Any] = self._resolve_inputs(inputs)
+        if state is None:
+            state = self.initial_state()
+        for sig, val in zip(self.schedule.initials, state):
+            values[id(sig)] = val
+        self._execute_phases(values, self.schedule.phases)
         marginals = {
             vid: values[id(sig)]
             for vid, sig in self.schedule.targets.items()
@@ -227,19 +249,36 @@ class CompiledInference:
         inputs: Mapping[Any, Any],
         n_iterations: int,
         state: Optional[Sequence[Any]] = None,
+        steady_state: bool = False,
     ) -> Tuple[Dict[int, Any], List[Any]]:
         """Run ``n_iterations`` VMP sweeps, threading the iteration state.
 
-        The per-sweep program is identical, so under ``jax.jit`` this unrolls
-        (small n) or can be wrapped in ``lax.fori_loop`` by the caller via
-        :meth:`run` with explicit state pytrees.
+        With ``steady_state=True`` the first sweep runs the dataflow-ordered
+        schedule (warm start: every signal gets a value in a valid order) and
+        subsequent sweeps run the maximally-batched Jacobi schedule
+        (:meth:`jacobi_phases`) — the preferred mode on TPU for chain-heavy
+        graphs whose dataflow schedule has many small phases.
+
+        The per-sweep program is pure, so wrapping this call in ``jax.jit``
+        compiles the whole fixed-point loop.
         """
+        values: Dict[int, Any] = self._resolve_inputs(inputs)
         if state is None:
             state = self.initial_state()
-        marginals: Dict[int, Any] = {}
-        for _ in range(n_iterations):
-            marginals, state = self.run(inputs, state)
-        return marginals, state
+        for sig, val in zip(self.schedule.initials, state):
+            values[id(sig)] = val
+        for k in range(n_iterations):
+            if steady_state and k > 0:
+                self._execute_phases(values, self.jacobi_phases())
+            else:
+                self._execute_phases(values, self.schedule.phases)
+        marginals = {
+            vid: values[id(sig)]
+            for vid, sig in self.schedule.targets.items()
+            if id(sig) in values
+        }
+        new_state = [values[id(s)] for s in self.schedule.initials]
+        return marginals, new_state
 
     def summary(self) -> str:
         return self.schedule.summary()

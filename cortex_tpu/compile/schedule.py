@@ -196,25 +196,90 @@ def extract_schedule(
         and not s.get_dependencies()
     }
 
-    computable_set = set(candidate_ids)
-    changed = True
-    while changed:
-        changed = False
-        for s in candidates:
-            if id(s) not in computable_set:
+    by_id = {id(s): s for s in candidates}
+
+    def _availability_fixpoint(active: set) -> set:
+        computable_set = set(active)
+        changed = True
+        while changed:
+            changed = False
+            for sid in list(computable_set):
+                s = by_id[sid]
+                for dep in s.get_dependencies():
+                    did = id(dep)
+                    available = (
+                        did in computable_set
+                        or did in source_ids
+                        or did in fixed_computed_ids
+                        or dep.is_computed()  # computed but excluded candidate
+                    )
+                    if not available:
+                        computable_set.discard(sid)
+                        changed = True
+                        break
+        return computable_set
+
+    def _ordering_deps(s: Signal, computable_set: set, strong_only: bool):
+        """Edges that constrain in-sweep ordering: strong edges to scheduled
+        signals always; weak edges additionally when the producer is
+        scheduled but UNCOMPUTED at compile time (first sweep must produce
+        before the read — the static analogue of the dynamic warm-up where a
+        weak dependency cannot satisfy the pending criterion until first
+        computed, reference ``src/signal.jl:668-730``)."""
+        out = []
+        for i, d in enumerate(s.get_dependencies()):
+            if id(d) not in computable_set:
                 continue
-            for dep in s.get_dependencies():
-                did = id(dep)
-                available = (
-                    did in computable_set
-                    or did in source_ids
-                    or did in fixed_computed_ids
-                    or dep.is_computed()  # computed but excluded candidate
-                )
-                if not available:
-                    computable_set.discard(id(s))
-                    changed = True
-                    break
+            if not s.dep_is_weak(i):
+                out.append(d)
+            elif not strong_only and not d.is_computed():
+                out.append(d)
+        return out
+
+    def _kahn(computable_set: set, strong_only: bool):
+        indeg: Dict[int, int] = {}
+        dependents: Dict[int, List[Signal]] = defaultdict(list)
+        phase: Dict[int, int] = {}
+        for sid in computable_set:
+            s = by_id[sid]
+            od = _ordering_deps(s, computable_set, strong_only)
+            indeg[sid] = len(od)
+            for d in od:
+                dependents[id(d)].append(s)
+        frontier = [by_id[sid] for sid in computable_set if indeg[sid] == 0]
+        for s in frontier:
+            phase[id(s)] = 0
+        n_ordered = 0
+        while frontier:
+            s = frontier.pop()
+            n_ordered += 1
+            for t in dependents[id(s)]:
+                indeg[id(t)] -= 1
+                phase[id(t)] = max(phase.get(id(t), 0), phase[id(s)] + 1)
+                if indeg[id(t)] == 0:
+                    frontier.append(t)
+        leftover = {sid for sid in computable_set if indeg[sid] > 0}
+        return phase, leftover
+
+    # Iterate: availability fixpoint → ordering; weak-deadlocked cycles
+    # (mutually-uncomputed weak reads) are dropped — the dynamic engine never
+    # computes them either — and the drop may cascade through consumers.
+    active = set(candidate_ids)
+    while True:
+        computable_set = _availability_fixpoint(active)
+        phase_of, leftover = _kahn(computable_set, strong_only=False)
+        if not leftover:
+            break
+        _, strong_leftover = _kahn(leftover, strong_only=True)
+        if strong_leftover:
+            cyclic = [by_id[sid] for sid in strong_leftover]
+            raise ValueError(
+                "Strong-dependency cycle detected among "
+                f"{len(cyclic)} signals; cyclic structures must use weak "
+                "dependencies (VMP) to be compilable. Example variant: "
+                f"{cyclic[0].variant!r}"
+            )
+        active = computable_set - leftover
 
     skipped = [
         s
@@ -234,60 +299,6 @@ def extract_schedule(
             seen_init.add(id(s))
             initials.append(s)
     sources = [known[i] for i in source_ids]
-
-    # -- phase assignment: longest path over strong edges ------------------
-    # Weak edges are ordering-free (previous-iteration values).  Strong edges
-    # to initials are satisfied at phase -1 for the first iteration.
-    phase_of: Dict[int, int] = {}
-    for s in sources + initials:
-        if not s.get_dependencies():
-            phase_of[id(s)] = -1
-    # Initials WITH dependencies still get recomputed; they participate in
-    # ordering like any computable signal, but their consumers may read the
-    # stale value (weak edges) — strong edges to them order normally.
-
-    computable_ids = {id(s) for s in computable}
-
-    def strong_deps(s: Signal) -> List[Signal]:
-        out = []
-        deps = s.get_dependencies()
-        for i, d in enumerate(deps):
-            if not s.dep_is_weak(i) and id(d) in computable_ids:
-                out.append(d)
-        return out
-
-    # Kahn-style longest path with cycle detection on strong edges.
-    indeg: Dict[int, int] = {}
-    dependents: Dict[int, List[Signal]] = defaultdict(list)
-    for s in computable:
-        sd = strong_deps(s)
-        indeg[id(s)] = len(sd)
-        for d in sd:
-            dependents[id(d)].append(s)
-
-    frontier = [s for s in computable if indeg[id(s)] == 0]
-    for s in frontier:
-        phase_of[id(s)] = 0
-    ordered: List[Signal] = []
-    while frontier:
-        s = frontier.pop()
-        ordered.append(s)
-        for t in dependents[id(s)]:
-            indeg[id(t)] -= 1
-            phase_of[id(t)] = max(
-                phase_of.get(id(t), 0), phase_of[id(s)] + 1
-            )
-            if indeg[id(t)] == 0:
-                frontier.append(t)
-
-    if len(ordered) != len(computable):
-        cyclic = [s for s in computable if indeg[id(s)] > 0]
-        raise ValueError(
-            "Strong-dependency cycle detected among "
-            f"{len(cyclic)} signals; cyclic structures must use weak "
-            "dependencies (VMP) to be compilable. Example variant: "
-            f"{cyclic[0].variant!r}"
-        )
 
     # -- bucket into phases and rule-key groups ----------------------------
     nphases = 1 + max((phase_of[id(s)] for s in computable), default=-1)
