@@ -190,20 +190,42 @@ class CompiledInference:
                 n_deps = group.key[2]
                 dep_values = []
                 for j in range(n_deps):
-                    dep_values.append(
-                        tree_stack([values[id(st.deps[j])] for st in group.steps])
-                    )
+                    try:
+                        dep_values.append(
+                            tree_stack(
+                                [values[id(st.deps[j])] for st in group.steps]
+                            )
+                        )
+                    except (ValueError, TypeError) as e:
+                        raise TypeError(
+                            f"Cannot batch dependency {j} of rule group "
+                            f"{group.key}: the {len(group.steps)} steps carry "
+                            "incompatible value structures/shapes. Split the "
+                            "group with a refine_key (see "
+                            "cortex_tpu.compile.dep_role_key)."
+                        ) from e
                 out = self.processor.dispatch(self.engine, group, dep_values)
                 for st, val in zip(group.steps, tree_unstack(out, len(group.steps))):
                     values[id(st.signal)] = val
 
     def jacobi_phases(self):
-        """The steady-state sweep: ALL steps batched into one phase, grouped
-        by rule key, every dependency reading the *previous* sweep's value
-        (pure Jacobi iteration).  Maximally batched — a chain model's O(n)
-        dataflow phases collapse to one rule call per group — at the price of
-        roughly 2x the iterations to the same fixed point.  Only valid once
-        every scheduled signal has a value (after one dataflow sweep)."""
+        """The steady-state sweep: ALL steps collapsed into one phase with
+        one group per rule key, in first-appearance (dataflow) order.
+
+        Semantics: block Gauss–Seidel over the rule groups — each group's
+        outputs are visible to groups later in the phase within the same
+        sweep; dependencies on same-or-later groups read the previous sweep's
+        values.  Maximally batched (a chain model's O(n) dataflow phases
+        become one rule call per group) at the price of more iterations to
+        the same fixed point.  Only valid once every scheduled signal has a
+        value (after one dataflow warm-start sweep).
+
+        Caveat: steps that shared a rule key but sat in different dataflow
+        phases are stacked together here; if their value structures differ
+        (e.g. Gaussians of different dimension under one key), batching fails
+        at the first steady-state sweep with an error naming the group —
+        split such groups with ``refine_key``.
+        """
         if getattr(self, "_jacobi_cache", None) is None:
             groups: Dict[Any, PhaseGroup] = {}
             for phase in self.schedule.phases:
@@ -212,9 +234,7 @@ class CompiledInference:
                         groups[group.key].steps.extend(group.steps)
                     else:
                         groups[group.key] = PhaseGroup(group.key, list(group.steps))
-            self._jacobi_cache = [
-                [groups[k] for k in sorted(groups, key=repr)]
-            ]
+            self._jacobi_cache = [list(groups.values())]
         return self._jacobi_cache
 
     def run(
@@ -226,19 +246,7 @@ class CompiledInference:
         new_state)`` where ``marginals`` maps variable_id → value and
         ``new_state`` carries the updated iteration state (for VMP fixed-point
         loops)."""
-        values: Dict[int, Any] = self._resolve_inputs(inputs)
-        if state is None:
-            state = self.initial_state()
-        for sig, val in zip(self.schedule.initials, state):
-            values[id(sig)] = val
-        self._execute_phases(values, self.schedule.phases)
-        marginals = {
-            vid: values[id(sig)]
-            for vid, sig in self.schedule.targets.items()
-            if id(sig) in values
-        }
-        new_state = [values[id(s)] for s in self.schedule.initials]
-        return marginals, new_state
+        return self.iterate(inputs, 1, state)
 
     def __call__(self, inputs: Mapping[Any, Any]) -> Dict[int, Any]:
         marginals, _ = self.run(inputs)

@@ -71,7 +71,8 @@ class StaticSchedule:
     def summary(self) -> str:
         lines = [
             f"StaticSchedule: {len(self.phases)} phases, {self.num_steps} steps, "
-            f"{len(self.sources)} sources, {len(self.initials)} initials"
+            f"{len(self.sources)} sources, {len(self.initials)} initials, "
+            f"{len(self.skipped)} skipped"
         ]
         for i, phase in enumerate(self.phases):
             parts = ", ".join(f"{g.key[0]}/{g.key[1]}×{len(g.steps)}" for g in phase)
@@ -249,10 +250,8 @@ def extract_schedule(
         frontier = [by_id[sid] for sid in computable_set if indeg[sid] == 0]
         for s in frontier:
             phase[id(s)] = 0
-        n_ordered = 0
         while frontier:
             s = frontier.pop()
-            n_ordered += 1
             for t in dependents[id(s)]:
                 indeg[id(t)] -= 1
                 phase[id(t)] = max(phase.get(id(t), 0), phase[id(s)] + 1)
@@ -281,11 +280,11 @@ def extract_schedule(
             )
         active = computable_set - leftover
 
-    skipped = [
-        s
-        for s in candidates
-        if id(s) not in computable_set and not s.is_computed()
-    ]
+    # Everything visitable-but-unscheduled: never-computable signals AND
+    # compile-time-computed candidates whose updates are frozen (their values
+    # are read as stale state forever).  Recorded for observability — a VMP
+    # marginal landing here means its update silently never runs.
+    skipped = [s for s in candidates if id(s) not in computable_set]
     computable = [s for s in candidates if id(s) in computable_set]
 
     # Iteration state ("initials"): every compile-time-computed signal that
