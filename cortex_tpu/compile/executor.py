@@ -142,6 +142,7 @@ class CompiledInference:
         self._initial_index: Dict[int, int] = {
             id(s): i for i, s in enumerate(self.schedule.initials)
         }
+        self._steady_state_cache = None
 
     # -- input plumbing ----------------------------------------------------
     def source_key(self, signal: Signal) -> Any:
@@ -205,10 +206,18 @@ class CompiledInference:
                             "cortex_tpu.compile.dep_role_key)."
                         ) from e
                 out = self.processor.dispatch(self.engine, group, dep_values)
-                for st, val in zip(group.steps, tree_unstack(out, len(group.steps))):
+                n = len(group.steps)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    if jnp.shape(leaf)[:1] != (n,):
+                        raise ValueError(
+                            f"Rule for group {group.key} returned a batch of "
+                            f"leading shape {jnp.shape(leaf)[:1]}, expected "
+                            f"({n},) — one output per step in the group."
+                        )
+                for st, val in zip(group.steps, tree_unstack(out, n)):
                     values[id(st.signal)] = val
 
-    def jacobi_phases(self):
+    def steady_state_phases(self):
         """The steady-state sweep: ALL steps collapsed into one phase with
         one group per rule key, in first-appearance (dataflow) order.
 
@@ -226,7 +235,7 @@ class CompiledInference:
         at the first steady-state sweep with an error naming the group —
         split such groups with ``refine_key``.
         """
-        if getattr(self, "_jacobi_cache", None) is None:
+        if self._steady_state_cache is None:
             groups: Dict[Any, PhaseGroup] = {}
             for phase in self.schedule.phases:
                 for group in phase:
@@ -234,8 +243,12 @@ class CompiledInference:
                         groups[group.key].steps.extend(group.steps)
                     else:
                         groups[group.key] = PhaseGroup(group.key, list(group.steps))
-            self._jacobi_cache = [list(groups.values())]
-        return self._jacobi_cache
+            self._steady_state_cache = [list(groups.values())]
+        return self._steady_state_cache
+
+    # Backward-compatible alias (the schedule is block Gauss-Seidel, not pure
+    # Jacobi — see steady_state_phases).
+    jacobi_phases = steady_state_phases
 
     def run(
         self,
@@ -263,13 +276,15 @@ class CompiledInference:
 
         With ``steady_state=True`` the first sweep runs the dataflow-ordered
         schedule (warm start: every signal gets a value in a valid order) and
-        subsequent sweeps run the maximally-batched Jacobi schedule
-        (:meth:`jacobi_phases`) — the preferred mode on TPU for chain-heavy
-        graphs whose dataflow schedule has many small phases.
+        subsequent sweeps run the maximally-batched block-Gauss-Seidel
+        schedule (:meth:`steady_state_phases`) — the preferred mode on TPU
+        for chain-heavy graphs whose dataflow schedule has many small phases.
 
         The per-sweep program is pure, so wrapping this call in ``jax.jit``
         compiles the whole fixed-point loop.
         """
+        if n_iterations < 1:
+            raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
         values: Dict[int, Any] = self._resolve_inputs(inputs)
         if state is None:
             state = self.initial_state()
@@ -277,7 +292,7 @@ class CompiledInference:
             values[id(sig)] = val
         for k in range(n_iterations):
             if steady_state and k > 0:
-                self._execute_phases(values, self.jacobi_phases())
+                self._execute_phases(values, self.steady_state_phases())
             else:
                 self._execute_phases(values, self.schedule.phases)
         marginals = {

@@ -62,7 +62,7 @@ class StaticSchedule:
     initials: List[Signal]  # computed at compile time (VMP initial marginals)
     targets: Dict[int, Signal]  # variable_id -> marginal signal
     linked: Dict[int, List[Signal]]  # variable_id -> linked signals
-    skipped: List[Signal]  # visitable but never computable (match dynamic)
+    skipped: List[Signal]  # unscheduled candidates: never-computable OR frozen computed (stale reads)
 
     @property
     def num_steps(self) -> int:
@@ -271,7 +271,22 @@ def extract_schedule(
             break
         _, strong_leftover = _kahn(leftover, strong_only=True)
         if strong_leftover:
-            cyclic = [by_id[sid] for sid in strong_leftover]
+            # Trim signals merely downstream of a cycle: iteratively peel
+            # nodes with no strong dependents inside the set, leaving the
+            # actual cycle members for the error message.
+            core = set(strong_leftover)
+            peeled = True
+            while peeled:
+                peeled = False
+                has_dependent: set = set()
+                for sid in core:
+                    for d in _ordering_deps(by_id[sid], core, strong_only=True):
+                        has_dependent.add(id(d))
+                for sid in list(core):
+                    if sid not in has_dependent:
+                        core.discard(sid)
+                        peeled = True
+            cyclic = [by_id[sid] for sid in (core or strong_leftover)]
             raise ValueError(
                 "Strong-dependency cycle detected among "
                 f"{len(cyclic)} signals; cyclic structures must use weak "
