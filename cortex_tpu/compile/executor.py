@@ -303,5 +303,65 @@ class CompiledInference:
         new_state = [values[id(s)] for s in self.schedule.initials]
         return marginals, new_state
 
+    def fixed_point(
+        self,
+        inputs: Mapping[Any, Any],
+        n_iterations: int,
+        state: Optional[Sequence[Any]] = None,
+    ) -> Tuple[Dict[int, Any], List[Any]]:
+        """Run the VMP fixed-point loop as ONE ``lax.fori_loop``.
+
+        One dataflow warm-start sweep, then ``n_iterations - 1`` steady-state
+        sweeps inside a ``fori_loop`` whose carry is the full value table —
+        compile time stays constant in ``n_iterations`` (vs. :meth:`iterate`,
+        which unrolls).  Wrap in ``jax.jit`` for the fully-compiled loop.
+        """
+        from jax import lax
+
+        if n_iterations < 1:
+            raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
+        values: Dict[int, Any] = self._resolve_inputs(inputs)
+        if state is None:
+            state = self.initial_state()
+        for sig, val in zip(self.schedule.initials, state):
+            values[id(sig)] = val
+        # Warm start (dataflow order) populates every scheduled signal.
+        self._execute_phases(values, self.schedule.phases)
+
+        # Stable carry order: every signal appearing in the value table.
+        carry_sigs: List[Signal] = []
+        seen: set = set()
+        for group_phase in self.schedule.phases:
+            for group in group_phase:
+                for st in group.steps:
+                    if id(st.signal) not in seen:
+                        seen.add(id(st.signal))
+                        carry_sigs.append(st.signal)
+        for s in self.schedule.initials:
+            if id(s) not in seen:
+                seen.add(id(s))
+                carry_sigs.append(s)
+        carry_ids = [id(s) for s in carry_sigs]
+        frozen = {k: v for k, v in values.items() if k not in seen}
+
+        def body(_, carry):
+            table = dict(zip(carry_ids, carry))
+            table.update(frozen)
+            self._execute_phases(table, self.steady_state_phases())
+            return tuple(table[i] for i in carry_ids)
+
+        carry = tuple(values[i] for i in carry_ids)
+        if n_iterations > 1:
+            carry = lax.fori_loop(0, n_iterations - 1, body, carry)
+        final = dict(zip(carry_ids, carry))
+        final.update(frozen)
+        marginals = {
+            vid: final[id(sig)]
+            for vid, sig in self.schedule.targets.items()
+            if id(sig) in final
+        }
+        new_state = [final[id(s)] for s in self.schedule.initials]
+        return marginals, new_state
+
     def summary(self) -> str:
         return self.schedule.summary()
