@@ -4,6 +4,7 @@ from .hgf import HGF, HGFState, HGFTrajectory
 from .gmm import GMM, GMMPosterior, GMMResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
+from .mv_lgssm import MvLGSSM
 
 __all__ = [
     "LGSSM",
@@ -16,4 +17,5 @@ __all__ = [
     "HGF",
     "HGFState",
     "HGFTrajectory",
+    "MvLGSSM",
 ]

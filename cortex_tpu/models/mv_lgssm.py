@@ -1,0 +1,87 @@
+"""Vector-state LGSSM model wrapper (multivariate Kalman smoothing).
+
+The d-dimensional counterpart of :class:`cortex_tpu.models.LGSSM`, backed by
+the time-parallel matrix associative scan
+(:func:`cortex_tpu.ops.chains_mv.mv_lgssm_smooth`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.chains_mv import MvChainMarginals, mv_lgssm_smooth
+
+__all__ = ["MvLGSSM"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MvLGSSM:
+    """``x_t = A x_{t-1} + N(0, Q)``, ``y_t = H x_t + N(0, R)`` with
+    ``A, Q: (d, d)``, ``H: (m, d)``, ``R: (m, m)``.
+
+    Arrays are held as tuples-of-tuples for hashability (the model is a
+    static argument of jitted functions); use :meth:`from_arrays`.
+    """
+
+    A: tuple
+    Q: tuple
+    H: tuple
+    R: tuple
+    m0: tuple
+    P0: tuple
+
+    @classmethod
+    def from_arrays(cls, A, Q, H, R, m0, P0) -> "MvLGSSM":
+        t = lambda a: tuple(map(tuple, jnp.asarray(a).tolist())) if jnp.asarray(a).ndim > 1 else tuple(jnp.asarray(a).tolist())
+        return cls(t(A), t(Q), t(H), t(R), t(m0), t(P0))
+
+    @property
+    def dim(self) -> int:
+        return len(self.A)
+
+    def smooth(self, y: jax.Array) -> MvChainMarginals:
+        """Posterior marginals; ``y``: ``(..., T, m)``."""
+        return mv_lgssm_smooth(
+            y,
+            jnp.asarray(self.A),
+            jnp.asarray(self.Q),
+            jnp.asarray(self.H),
+            jnp.asarray(self.R),
+            (jnp.asarray(self.m0), jnp.asarray(self.P0)),
+        )
+
+    def sample(
+        self, key: jax.Array, T: int, batch_shape: Tuple[int, ...] = ()
+    ) -> Tuple[jax.Array, jax.Array]:
+        A = jnp.asarray(self.A)
+        Q = jnp.asarray(self.Q)
+        H = jnp.asarray(self.H)
+        R = jnp.asarray(self.R)
+        m0 = jnp.asarray(self.m0)
+        P0 = jnp.asarray(self.P0)
+        d, m = A.shape[0], H.shape[0]
+        kx0, kx, ky = jax.random.split(key, 3)
+        Lq = jnp.linalg.cholesky(Q)
+        Lr = jnp.linalg.cholesky(R)
+        L0 = jnp.linalg.cholesky(P0)
+        x0 = m0 + jnp.einsum(
+            "ij,...j->...i", L0, jax.random.normal(kx0, batch_shape + (d,))
+        )
+        wn = jax.random.normal(kx, (T,) + batch_shape + (d,))
+        vn = jax.random.normal(ky, (T,) + batch_shape + (m,))
+
+        def step(x_prev, noise):
+            x = jnp.einsum("ij,...j->...i", A, x_prev) + jnp.einsum(
+                "ij,...j->...i", Lq, noise
+            )
+            return x, x
+
+        _, xs = jax.lax.scan(step, x0, wn)
+        ys = jnp.einsum("ij,t...j->t...i", H, xs) + jnp.einsum(
+            "ij,t...j->t...i", Lr, vn
+        )
+        return jnp.moveaxis(xs, 0, -2), jnp.moveaxis(ys, 0, -2)

@@ -38,19 +38,16 @@ def elbo_conjugate(log_evidence_tilde: jax.Array, *kl_terms: jax.Array) -> jax.A
 def bethe_free_energy_chain(
     obs_xi: jax.Array,
     obs_w: jax.Array,
-    marg_xi: jax.Array,
-    marg_w: jax.Array,
     Q: float,
     A: float = 1.0,
 ) -> jax.Array:
     """Bethe free energy of a scalar Gaussian chain, shape ``(...)``.
 
     For tree graphs the Bethe free energy equals the exact negative log
-    evidence.  Computed via the prediction-error decomposition applied to the
-    information-form quantities: equivalent to
-    ``-log p(y)`` with the chain's ``obs`` messages ``(..., T)`` and the
-    resulting marginals — a direct functional of the BP fixed point, usable
-    as a convergence/monitoring scalar per replica.
+    evidence, which for the chain is a closed-form functional of the
+    observation messages alone (``(..., T)`` information-form arrays):
+    computed via the prediction-error decomposition.  Usable as a
+    convergence/monitoring scalar per replica.
     """
     # Reconstruct observations and their noise from the obs messages:
     # xi = H y / R_, w = H^2 / R_ with H=1: y = xi/w, R_ = 1/w.

@@ -114,3 +114,25 @@ def test_mv_reduces_to_scalar_case():
         rtol=1e-3,
         atol=1e-3,
     )
+
+
+def test_mv_lgssm_model_wrapper():
+    """MvLGSSM model: sample + smooth round trip reduces observation error."""
+    import jax
+    from cortex_tpu.models import MvLGSSM
+
+    m = MvLGSSM.from_arrays(
+        A=0.9 * np.eye(2),
+        Q=0.2 * np.eye(2),
+        H=np.array([[1.0, 0.0]]),
+        R=[[0.5]],
+        m0=[0.0, 0.0],
+        P0=np.eye(2),
+    )
+    x, y = m.sample(jax.random.PRNGKey(0), T=40, batch_shape=(3,))
+    assert x.shape == (3, 40, 2) and y.shape == (3, 40, 1)
+    marg = m.smooth(y)
+    assert marg.mean.shape == (3, 40, 2)
+    err = float(jnp.abs(marg.mean[..., 0] - x[..., 0]).mean())
+    raw = float(jnp.abs(y[..., 0] - x[..., 0]).mean())
+    assert err < raw

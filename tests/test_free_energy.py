@@ -22,8 +22,7 @@ def test_bethe_free_energy_equals_negative_log_evidence_on_chain():
     y = jnp.asarray(rng.normal(size=(5, 30)).cumsum(axis=-1))
     msgs = lgssm_messages_scan(y, A=1.0, Q=1.0, H=1.0, R=1.0)
     obs_xi, obs_w = msgs["obs"]
-    marg_xi, marg_w = msgs["marginal"]
-    fe = bethe_free_energy_chain(obs_xi, obs_w, marg_xi, marg_w, Q=1.0, A=1.0)
+    fe = bethe_free_energy_chain(obs_xi, obs_w, Q=1.0, A=1.0)
     assert fe.shape == (5,)
 
     # Oracle: dense filter over t>=2 given filtered_1 = obs_1.
@@ -45,13 +44,9 @@ def test_bethe_free_energy_decreases_with_better_fit():
     smooth_data = jnp.asarray(np.zeros((1, 40)) + 0.01 * rng.normal(size=(1, 40)))
     rough_data = jnp.asarray(rng.normal(size=(1, 40)) * 5.0)
     fe_smooth = bethe_free_energy_chain(
-        *lgssm_messages_scan(smooth_data)["obs"],
-        *lgssm_messages_scan(smooth_data)["marginal"],
-        Q=1.0,
+        *lgssm_messages_scan(smooth_data)["obs"], Q=1.0
     )
     fe_rough = bethe_free_energy_chain(
-        *lgssm_messages_scan(rough_data)["obs"],
-        *lgssm_messages_scan(rough_data)["marginal"],
-        Q=1.0,
+        *lgssm_messages_scan(rough_data)["obs"], Q=1.0
     )
     assert float(fe_smooth[0]) < float(fe_rough[0])
