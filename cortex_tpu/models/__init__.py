@@ -1,6 +1,7 @@
 """Model zoo: the reference's example families, TPU-first."""
 
 from .hgf import HGF, HGFState, HGFTrajectory
+from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from .gmm import GMM, GMMPosterior, GMMResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
@@ -18,4 +19,7 @@ __all__ = [
     "HGFState",
     "HGFTrajectory",
     "MvLGSSM",
+    "BinaryHGF",
+    "BinaryHGFState",
+    "BinaryHGFTrajectory",
 ]

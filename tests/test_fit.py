@@ -1,0 +1,45 @@
+"""Differentiable-inference tests: gradients through the smoother, ML system
+identification."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cortex_tpu.models import LGSSM
+from cortex_tpu.models.fit import LGSSMParams, fit_lgssm_ml
+
+
+def test_log_evidence_is_differentiable():
+    """jax.grad flows through the filtering scan."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=30).cumsum())
+
+    def nll(q):
+        return -LGSSM(A=1.0, Q=q, H=1.0, R=1.0).log_evidence(y)
+
+    g = jax.grad(nll)(0.5)
+    assert np.isfinite(float(g))
+    # The gradient points towards higher likelihood: numerically verify.
+    eps = 1e-3
+    fd = (nll(0.5 + eps) - nll(0.5 - eps)) / (2 * eps)
+    assert float(g) == pytest.approx(float(fd), rel=2e-2)
+
+
+def test_fit_recovers_parameters():
+    true = LGSSM(A=0.8, Q=0.3, H=1.0, R=0.5)
+    _, y = true.sample(jax.random.PRNGKey(0), T=200, batch_shape=(64,))
+
+    params, losses = fit_lgssm_ml(y, n_steps=400, learning_rate=0.05)
+    assert float(losses[-1]) < float(losses[0])
+    assert float(params.A) == pytest.approx(0.8, abs=0.08)
+    assert float(params.Q) == pytest.approx(0.3, abs=0.1)
+    assert float(params.R) == pytest.approx(0.5, abs=0.1)
+
+
+def test_fit_jits_end_to_end():
+    true = LGSSM(A=0.9, Q=0.2, H=1.0, R=0.2)
+    _, y = true.sample(jax.random.PRNGKey(1), T=100, batch_shape=(16,))
+    fitted = jax.jit(lambda data: fit_lgssm_ml(data, n_steps=50)[0])(y)
+    assert np.isfinite(float(fitted.A))

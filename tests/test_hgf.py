@@ -109,3 +109,55 @@ def test_replica_sharded_streaming():
     np.testing.assert_allclose(
         np.asarray(final.mu1), np.asarray(expected.mu1), rtol=1e-5
     )
+
+
+# -- binary HGF (3-level) ----------------------------------------------------
+
+
+def test_binary_hgf_tracks_reward_probability():
+    from cortex_tpu.models import BinaryHGF
+
+    rng = np.random.default_rng(0)
+    # Reward probability switches 0.85 -> 0.15 -> 0.85.
+    ps = np.concatenate([np.full(120, 0.85), np.full(120, 0.15), np.full(120, 0.85)])
+    u = (rng.random(360) < ps).astype(np.float32)
+
+    hgf = BinaryHGF(omega=-2.0)
+    final, traj = hgf.filter(jnp.asarray(u))
+    p_hat = np.asarray(traj.p_hat)
+    # After settling, predictions reflect each block's probability.
+    assert p_hat[80:120].mean() > 0.6
+    assert p_hat[200:240].mean() < 0.4
+    assert p_hat[320:].mean() > 0.6
+    assert np.all(np.isfinite(np.asarray(traj.mu3)))
+
+
+def test_binary_hgf_volatility_rises_at_switches():
+    from cortex_tpu.models import BinaryHGF
+
+    rng = np.random.default_rng(1)
+    stable = (rng.random(200) < 0.9).astype(np.float32)
+    volatile = (rng.random(200) < np.where(np.arange(200) % 40 < 20, 0.9, 0.1)).astype(
+        np.float32
+    )
+    hgf = BinaryHGF()
+    _, t_stable = hgf.filter(jnp.asarray(stable))
+    _, t_vol = hgf.filter(jnp.asarray(volatile))
+    assert float(np.asarray(t_vol.mu3)[100:].mean()) > float(
+        np.asarray(t_stable.mu3)[100:].mean()
+    )
+
+
+def test_binary_hgf_batched_and_step_agree():
+    from cortex_tpu.models import BinaryHGF
+
+    rng = np.random.default_rng(2)
+    u = (rng.random((5, 30)) < 0.7).astype(np.float32)
+    hgf = BinaryHGF()
+    final, _ = hgf.filter(jnp.asarray(u))
+    assert final.mu2.shape == (5,)
+
+    state = hgf.init_state(())
+    for t in range(30):
+        state, _ = hgf.step(state, jnp.asarray(u[2, t]))
+    assert float(state.mu2) == pytest.approx(float(final.mu2[2]), rel=1e-5)
