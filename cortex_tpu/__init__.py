@@ -23,4 +23,28 @@ __version__ = "0.1.0"
 from .core import *  # noqa: F401,F403
 from .core import __all__ as _core_all
 
-__all__ = list(_core_all) + ["__version__"]
+# Submodules load lazily (PEP 562) so `import cortex_tpu` stays light — the
+# dynamic reactive core has no JAX dependency; the compute-path modules pull
+# in JAX on first access.
+_SUBMODULES = (
+    "checkpoint",
+    "compile",
+    "diag",
+    "dists",
+    "models",
+    "ops",
+    "parallel",
+    "utils",
+    "viz",
+    "native",
+)
+
+__all__ = list(_core_all) + ["__version__"] + list(_SUBMODULES)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

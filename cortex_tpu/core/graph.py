@@ -65,10 +65,23 @@ class BipartiteFactorGraph:
 
     # -- model-engine interface (reference src/model_engine.jl:329-391) ---
     def get_variable(self, variable_id: int) -> Variable:
-        return self._variables[variable_id]
+        try:
+            return self._variables[variable_id]
+        except KeyError:
+            raise KeyError(
+                f"Unknown variable id {variable_id} (graph has "
+                f"{self.num_variables()} variables; ids are shared with "
+                "factors)"
+            ) from None
 
     def get_factor(self, factor_id: int) -> Factor:
-        return self._factors[factor_id]
+        try:
+            return self._factors[factor_id]
+        except KeyError:
+            raise KeyError(
+                f"Unknown factor id {factor_id} (graph has "
+                f"{self.num_factors()} factors; ids are shared with variables)"
+            ) from None
 
     def get_variable_ids(self):
         return self._variables.keys()
@@ -77,7 +90,13 @@ class BipartiteFactorGraph:
         return self._factors.keys()
 
     def get_connection(self, variable_id: int, factor_id: int) -> Connection:
-        return self._connections[(variable_id, factor_id)]
+        try:
+            return self._connections[(variable_id, factor_id)]
+        except KeyError:
+            raise KeyError(
+                f"No edge between variable {variable_id} and factor "
+                f"{factor_id}"
+            ) from None
 
     def get_connected_variable_ids(self, factor_id: int):
         return self._factor_neighbors[factor_id]
