@@ -88,6 +88,8 @@ class HMM:
         trans_prior: float = 1.0,
         emis_prior: float = 1.0,
         init_state: Optional[HMMVMPState] = None,
+        method: str = "scan",
+        pooled: bool = False,
     ) -> HMMVMPResult:
         """Variational EM with Dirichlet posteriors over the transition rows
         and the categorical emission rows.
@@ -95,11 +97,25 @@ class HMM:
         ``obs``: integer observations ``(..., T)`` in ``[0, n_symbols)``;
         leading axes are independent replicas, each with its own posterior.
         Runs as a ``lax.scan`` over iterations — one jittable program.
+
+        ``pooled=True`` learns ONE shared posterior from all replicas
+        (expected counts summed across the batch) — the classic
+        many-sequences-one-model setup; otherwise each replica carries its
+        own posterior.
+
+        ``method``: "scan" (log-space forward-backward) or "pallas" (the
+        fused scaled kernel emitting marginals + pairwise counts;
+        requires ``pooled=True`` with obs of shape ``(R, T)``, since the
+        kernel holds one shared transition matrix in VMEM).
         """
         obs = jnp.asarray(obs)
         K, M = self.K, n_symbols
-        batch = obs.shape[:-1]
+        batch = () if pooled else obs.shape[:-1]
         onehot = jax.nn.one_hot(obs, M)  # (..., T, M)
+        if method == "pallas" and not (pooled and obs.ndim == 2):
+            raise ValueError(
+                "method='pallas' requires pooled=True and obs of shape (R, T)"
+            )
 
         if init_state is None:
             # Symmetry breaking: tilt the transition prior towards
@@ -119,23 +135,37 @@ class HMM:
         trans_prior_arr = jnp.full((K, K), trans_prior)
         emis_prior_arr = jnp.full((K, M), emis_prior)
 
+        def e_step(log_lik, log_A):
+            if method == "pallas":
+                from ..ops.pallas_hmm import hmm_forward_backward_counts_pallas
+
+                out = hmm_forward_backward_counts_pallas(
+                    jnp.exp(log_lik), jnp.exp(log_A), jnp.exp(self.log_pi)
+                )
+                return out.gamma, out.xi_sum, out.log_evidence
+            post = hmm_forward_backward(log_lik, log_A, self.log_pi)
+            return jnp.exp(post.log_gamma), jnp.exp(post.log_xi_sum), post.log_evidence
+
         def vmp_iter(state: HMMVMPState, _):
             # E[log θ] under the Dirichlet posteriors (digamma means).
             log_A = Dirichlet(state.trans_alpha).mean_log()
             log_B = Dirichlet(state.emis_alpha).mean_log()
             # Per-step log-likelihoods under E[log B].
             log_lik = jnp.einsum("...tm,...km->...tk", onehot, log_B)
-            post = hmm_forward_backward(log_lik, log_A, self.log_pi)
-            gamma = jnp.exp(post.log_gamma)  # (..., T, K)
-            # Expected counts -> conjugate updates.
-            trans_counts = jnp.exp(post.log_xi_sum)
+            gamma, trans_counts, log_evidence = e_step(log_lik, log_A)
             emis_counts = jnp.einsum("...tk,...tm->...km", gamma, onehot)
+            if pooled and obs.ndim > 1:
+                # Sum expected statistics across replicas (one shared model).
+                reduce_axes = tuple(range(obs.ndim - 1))
+                trans_counts = jnp.sum(trans_counts, axis=reduce_axes)
+                emis_counts = jnp.sum(emis_counts, axis=reduce_axes)
+                log_evidence = jnp.sum(log_evidence, axis=reduce_axes)
             new_state = HMMVMPState(
                 trans_prior_arr + trans_counts,
                 emis_prior_arr + emis_counts,
             )
             elbo = (
-                post.log_evidence
+                log_evidence
                 - jnp.sum(_dirichlet_kl(new_state.trans_alpha, trans_prior_arr), axis=-1)
                 - jnp.sum(_dirichlet_kl(new_state.emis_alpha, emis_prior_arr), axis=-1)
             )

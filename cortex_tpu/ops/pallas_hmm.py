@@ -126,3 +126,117 @@ def hmm_forward_backward_pallas(
         interpret=interpret,
     )(likT, A.astype(lik.dtype), pi2)
     return HMMPallasPosterior(jnp.moveaxis(gamma, 0, 1)[:R], logz[:R, 0])
+
+
+class HMMPallasCounts(NamedTuple):
+    gamma: jax.Array  # (R, T, K)
+    xi_sum: jax.Array  # (R, K, K) summed pairwise marginals
+    log_evidence: jax.Array  # (R,)
+
+
+def _fb_alpha_kernel(lik_ref, A_ref, pi_ref, gamma_ref, alpha_ref, logz_ref):
+    """As :func:`_fb_kernel`, additionally writing the scaled forward
+    messages (alphas) to their own output so pairwise statistics can be
+    assembled outside the kernel (Mosaic lowers 2D ops only; the K x K outer
+    products run as one XLA einsum afterwards)."""
+    T = lik_ref.shape[0]
+
+    a0 = pi_ref[0, :][None, :] * lik_ref[0]
+    n0 = jnp.sum(a0, axis=-1, keepdims=True)
+    a0 = a0 / n0
+    gamma_ref[0] = a0
+    alpha_ref[0] = a0
+    logz0 = jnp.log(n0[:, 0])
+
+    def fwd(t, carry):
+        alpha_prev, logz = carry
+        pred = jnp.dot(alpha_prev, A_ref[:, :], preferred_element_type=jnp.float32)
+        a = pred * lik_ref[t]
+        n = jnp.sum(a, axis=-1, keepdims=True)
+        a = a / n
+        gamma_ref[t] = a
+        alpha_ref[t] = a
+        return a, logz + jnp.log(n[:, 0])
+
+    _, logz = lax.fori_loop(1, T, fwd, (a0, logz0))
+    logz_ref[:, :] = jnp.broadcast_to(logz[:, None], logz_ref.shape)
+
+    ones = jnp.ones_like(a0)
+
+    def bwd(i, beta_next):
+        t = T - 2 - i
+        w = lik_ref[t + 1] * beta_next
+        b = jnp.dot(w, A_ref[:, :].T, preferred_element_type=jnp.float32)
+        b = b / jnp.sum(b, axis=-1, keepdims=True)
+        g = gamma_ref[t] * b
+        gamma_ref[t] = g / jnp.sum(g, axis=-1, keepdims=True)
+        return b
+
+    lax.fori_loop(0, T - 1, bwd, ones)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def hmm_forward_backward_counts_pallas(
+    lik: jax.Array,
+    A: jax.Array,
+    pi: jax.Array,
+    tile: int = 32,
+    interpret: bool | None = None,
+) -> HMMPallasCounts:
+    """Scaled forward-backward emitting state marginals AND summed pairwise
+    expected counts — the complete E-step of Dirichlet VMP.
+
+    The sweep runs in the fused kernel (gammas + alphas + logZ); the pairwise
+    sum ``xi_sum[r] = A \u2299 \u03a3_t (\u03b1\u0302_t/N_t) \u2297 w\u0302_t`` assembles as one batched
+    einsum on the MXU.  ``xi_sum``: (R, K, K).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    R, T, K = lik.shape
+    pad = (-R) % tile
+    if pad:
+        lik = jnp.concatenate(
+            [lik, jnp.ones((pad, T, K), lik.dtype) / K], axis=0
+        )
+    Rp = lik.shape[0]
+    likT = jnp.moveaxis(lik, 0, 1)
+    pi2 = pi[None, :].astype(lik.dtype)
+
+    grid = (Rp // tile,)
+    lik_spec = pl.BlockSpec((T, tile, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    gamma, alpha, logz = pl.pallas_call(
+        _fb_alpha_kernel,
+        grid=grid,
+        in_specs=[
+            lik_spec,
+            pl.BlockSpec((K, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            lik_spec,
+            lik_spec,
+            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Rp, K), lik.dtype),
+            jax.ShapeDtypeStruct((T, Rp, K), lik.dtype),
+            jax.ShapeDtypeStruct((Rp, 128), lik.dtype),
+        ),
+        interpret=interpret,
+    )(likT, A.astype(lik.dtype), pi2)
+
+    # Pairwise stats in XLA: beta ~ gamma/alpha (scale cancels in N_t).
+    eps = jnp.asarray(1e-30, lik.dtype)
+    beta = gamma / (alpha + eps)  # (T, Rp, K), unnormalized
+    w = likT[1:] * beta[1:]  # (T-1, Rp, K)
+    a_prev = alpha[:-1]
+    A_ = A.astype(lik.dtype)
+    # Two bounded contractions (a single 3-operand einsum can materialize a
+    # (T, R, K, K) intermediate at scale).
+    pred = jnp.einsum("trj,jk->trk", a_prev, A_)
+    N = jnp.sum(pred * w, axis=-1) + eps
+    S = jnp.einsum("trj,trk->rjk", a_prev / N[..., None], w)
+    xi_sum = A_[None, :, :] * S
+    return HMMPallasCounts(
+        jnp.moveaxis(gamma, 0, 1)[:R], xi_sum[:R], logz[:R, 0]
+    )

@@ -190,3 +190,47 @@ def test_fit_vmp_jits():
     out = fit(y)
     assert out.shape == (4,)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_fit_vmp_pooled_and_pallas_agree():
+    """Pooled VMP: one shared posterior from many sequences; the pallas
+    E-step (interpret mode on CPU) matches the log-space scan."""
+    rng = np.random.default_rng(9)
+    A = np.array([[0.85, 0.15], [0.25, 0.75]])
+    B = np.array([[0.9, 0.1], [0.15, 0.85]])
+    ys = np.stack(
+        [_sample_hmm(rng, 80, A, B, np.array([0.5, 0.5]))[1] for _ in range(8)]
+    )
+    model = HMM(K=2, log_pi=jnp.log(jnp.full(2, 0.5)))
+
+    r_scan = model.fit_vmp(
+        jnp.asarray(ys), n_symbols=2, n_iterations=15, pooled=True
+    )
+    assert r_scan.state.trans_alpha.shape == (2, 2)  # one shared posterior
+    r_pallas = model.fit_vmp(
+        jnp.asarray(ys), n_symbols=2, n_iterations=15, pooled=True, method="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_scan.state.trans_alpha),
+        np.asarray(r_pallas.state.trans_alpha),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_scan.elbo), np.asarray(r_pallas.elbo), rtol=1e-3
+    )
+
+    # Pooled recovery beats single-sequence noise.
+    A_hat = np.asarray(
+        r_scan.state.trans_alpha / r_scan.state.trans_alpha.sum(-1, keepdims=True)
+    )
+    order = np.argsort(A_hat[:, 0])[::-1]
+    A_hat = A_hat[order][:, order]
+    assert abs(A_hat[0, 0] - 0.85) < 0.1
+
+
+def test_fit_vmp_pallas_requires_pooled():
+    model = HMM(K=2, log_pi=jnp.log(jnp.full(2, 0.5)))
+    with pytest.raises(ValueError, match="pooled"):
+        model.fit_vmp(
+            jnp.zeros((4, 10), dtype=jnp.int32), n_symbols=2, method="pallas"
+        )

@@ -67,3 +67,32 @@ def test_hmm_pallas_gamma_normalized():
         jnp.asarray(lik), jnp.asarray(A), jnp.asarray(pi), tile=4
     )
     np.testing.assert_allclose(np.asarray(out.gamma).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_hmm_counts_pallas_matches_log_scan():
+    from cortex_tpu.ops.pallas_hmm import hmm_forward_backward_counts_pallas
+
+    rng = np.random.default_rng(4)
+    R_, T, K = 8, 12, 4
+    lik = (rng.random((R_, T, K)) + 0.1).astype(np.float32)
+    A = (rng.random((K, K)) + 0.2).astype(np.float32)
+    A /= A.sum(1, keepdims=True)
+    pi = np.full(K, 1 / K, dtype=np.float32)
+
+    out = hmm_forward_backward_counts_pallas(
+        jnp.asarray(lik), jnp.asarray(A), jnp.asarray(pi), tile=4
+    )
+    ref = hmm_forward_backward(
+        jnp.log(jnp.asarray(lik)), jnp.log(jnp.asarray(A)), jnp.log(jnp.asarray(pi))
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.gamma), np.exp(np.asarray(ref.log_gamma)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.xi_sum), np.exp(np.asarray(ref.log_xi_sum)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.log_evidence), np.asarray(ref.log_evidence), rtol=1e-5
+    )
+    # xi_sum rows sum to T-1 total mass.
+    np.testing.assert_allclose(np.asarray(out.xi_sum).sum((-2, -1)), T - 1, rtol=1e-4)

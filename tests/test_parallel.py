@@ -109,3 +109,33 @@ def test_replica_and_time_mesh_combined():
     np.testing.assert_allclose(
         np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-3, atol=1e-3
     )
+
+
+def test_compiled_generic_path_with_sharded_replicas():
+    """The generic CompiledInference program runs with replica-sharded
+    inputs: jit propagates the sharding through every phase group."""
+    from tests.test_compile import BetaBernoulliBatched, make_beta_bernoulli_graph
+    from cortex_tpu.compile import CompiledInference
+
+    n, R = 12, 64
+    engine, p, o, f = make_beta_bernoulli_graph(n)
+    compiled = CompiledInference(engine, [p], BetaBernoulliBatched())
+    sources = compiled.schedule.sources
+
+    rng = np.random.default_rng(0)
+    data = (rng.random((n, R)) < 0.4).astype(np.float32)
+
+    mesh = make_mesh()
+    stacked = jax.device_put(
+        jnp.asarray(data), NamedSharding(mesh, P(None, "replica"))
+    )
+
+    @jax.jit
+    def sweep(arr):
+        inputs = {s: arr[i] for i, s in enumerate(sources)}
+        marginals, _ = compiled.run(inputs)
+        return marginals[p].a, marginals[p].b
+
+    a, b = sweep(stacked)
+    np.testing.assert_allclose(np.asarray(a), 1.0 + data.sum(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), 1.0 + n - data.sum(0), rtol=1e-6)
