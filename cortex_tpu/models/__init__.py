@@ -3,6 +3,7 @@
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from .gmm import GMM, GMMPosterior, GMMResult
+from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
@@ -22,4 +23,7 @@ __all__ = [
     "BinaryHGF",
     "BinaryHGFState",
     "BinaryHGFTrajectory",
+    "GMMFull",
+    "GMMFullPosterior",
+    "GMMFullResult",
 ]
