@@ -168,10 +168,10 @@ class CompiledInference:
         values: Dict[int, Any] = {}
         by_key = {self.source_key(s): s for s in self.schedule.sources}
         for k, v in inputs.items():
-            if isinstance(k, Signal):
-                sig = k
-            elif k in by_key:
+            if k in by_key:
                 sig = by_key[k]
+            elif hasattr(k, "variant"):  # a Signal/NativeSignal object
+                sig = k
             else:
                 raise KeyError(f"Unknown input key: {k!r}")
             values[id(sig)] = v

@@ -185,3 +185,133 @@ def lgssm_smooth_time_sharded(
 
     mean, var = sharded(y)
     return ChainMarginals(mean, var)
+
+
+def mv_lgssm_smooth_time_sharded(
+    y: jax.Array,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior,
+    *,
+    mesh: Mesh,
+    time_axis: str = "time",
+):
+    """Vector-state analogue of :func:`lgssm_smooth_time_sharded`.
+
+    ``y``: ``(..., T, m)`` with T sharded over ``time_axis``; ``A, Q: (d,d)``,
+    ``H: (m,d)``, ``R: (m,m)``, ``prior=(m0 (d,), P0 (d,d))``.  Exact
+    marginals via the distributed matrix associative scan — one filter
+    element (A, b, C, eta, J) and one smoother element (E, g, L) exchanged
+    per device.
+    """
+    from ..ops.chains_mv import (
+        MvChainMarginals,
+        _Elem,
+        _SElem,
+        _combine,
+        _mT,
+        _scombine,
+    )
+
+    y = jnp.asarray(y)
+    A, Q, H, R = map(jnp.asarray, (A, Q, H, R))
+    m0, P0 = map(jnp.asarray, prior)
+    d = A.shape[-1]
+    T = y.shape[-2]
+    ndev = mesh.shape[time_axis]
+    if T % ndev:
+        raise ValueError(f"T={T} must divide evenly over {ndev} devices")
+    I = jnp.eye(d, dtype=y.dtype)
+
+    batch_spec = (None,) * (y.ndim - 2)
+    in_spec = P(*batch_spec, time_axis, None)
+    out_mean_spec = P(*batch_spec, time_axis, None)
+    out_cov_spec = P(*batch_spec, time_axis, None, None)
+
+    def _filter_identity_like(varying_vec):
+        # Built from a shard_map-varying array so the fori_loop carry has
+        # consistent "varying manual axes" with the combined elements.
+        zed = jnp.zeros_like(varying_vec)
+        zdd = zed[..., :, None] * zed[..., None, :]
+        eye = I + zdd
+        return _Elem(eye, zed, zdd, zed, zdd)
+
+    def _smoother_identity_like(varying_vec):
+        zed = jnp.zeros_like(varying_vec)
+        zdd = zed[..., :, None] * zed[..., None, :]
+        return _SElem(I + zdd, zed, zdd)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_spec,
+             out_specs=(out_mean_spec, out_cov_spec))
+    def sharded(y_blk):
+        yT = jnp.moveaxis(y_blk, -2, 0)  # (Tb, ..., m)
+        batch = yT.shape[1:-1]
+        my = lax.axis_index(time_axis)
+
+        # Generic filter elements for all local steps.
+        S = H @ Q @ _mT(H) + R
+        K = _mT(jnp.linalg.solve(_mT(S), H @ _mT(Q)))
+        IKH = I - K @ H
+        HtSi = _mT(jnp.linalg.solve(_mT(S), H))
+        A_g = jnp.broadcast_to(IKH @ A, yT.shape[:-1] + (d, d))
+        C_g = jnp.broadcast_to(IKH @ Q, yT.shape[:-1] + (d, d))
+        J_g = jnp.broadcast_to(_mT(A) @ HtSi @ H @ A, yT.shape[:-1] + (d, d))
+        b_g = jnp.einsum("de,t...e->t...d", K, yT)
+        eta_g = jnp.einsum("de,t...e->t...d", _mT(A) @ HtSi, yT)
+
+        # First global element: filtered belief of x_1 from the prior.
+        S1 = H @ P0 @ _mT(H) + R
+        K1 = _mT(jnp.linalg.solve(_mT(S1), H @ _mT(P0)))
+        b1 = m0 + jnp.einsum("de,...e->...d", K1, yT[0] - H @ m0)
+        C1 = jnp.broadcast_to((I - K1 @ H) @ P0, batch + (d, d))
+        is_first = my == 0
+        A_g = A_g.at[0].set(jnp.where(is_first, jnp.zeros_like(A_g[0]), A_g[0]))
+        b_g = b_g.at[0].set(jnp.where(is_first, b1, b_g[0]))
+        C_g = C_g.at[0].set(jnp.where(is_first, C1, C_g[0]))
+        eta_g = eta_g.at[0].set(
+            jnp.where(is_first, jnp.zeros_like(eta_g[0]), eta_g[0])
+        )
+        J_g = J_g.at[0].set(jnp.where(is_first, jnp.zeros_like(J_g[0]), J_g[0]))
+        elems = _Elem(A_g, b_g, C_g, eta_g, J_g)
+
+        local = lax.associative_scan(_combine, elems, axis=0)
+        block_total = jax.tree_util.tree_map(lambda a: a[-1], local)
+        gathered = lax.all_gather(block_total, time_axis)
+        prefix = _exclusive_prefix(
+            gathered, _combine, _filter_identity_like(b1), my, ndev
+        )
+        prefix_b = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (yT.shape[0],) + a.shape), prefix
+        )
+        final = _combine(prefix_b, local)
+        fm, fP = final.b, final.C
+
+        # Smoother elements.
+        Pp = A @ fP @ _mT(A) + Q
+        G = _mT(jnp.linalg.solve(_mT(Pp), A @ _mT(fP)))
+        g = fm - jnp.einsum("t...de,t...e->t...d", G @ A, fm)
+        L = fP - G @ Pp @ _mT(G)
+        is_last = my == ndev - 1
+        G = G.at[-1].set(jnp.where(is_last, jnp.zeros_like(G[-1]), G[-1]))
+        g = g.at[-1].set(jnp.where(is_last, fm[-1], g[-1]))
+        L = L.at[-1].set(jnp.where(is_last, fP[-1], L[-1]))
+        selems = _SElem(G, g, L)
+
+        slocal = lax.associative_scan(_scombine, selems, axis=0, reverse=True)
+        sblock_total = jax.tree_util.tree_map(lambda a: a[0], slocal)
+        sgathered = lax.all_gather(sblock_total, time_axis)
+        suffix = _exclusive_suffix(
+            sgathered, _scombine, _smoother_identity_like(b1), my, ndev
+        )
+        suffix_b = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (yT.shape[0],) + a.shape), suffix
+        )
+        sfinal = _scombine(suffix_b, slocal)
+        return jnp.moveaxis(sfinal.g, 0, -2), jnp.moveaxis(sfinal.L, 0, -3)
+
+    mean, cov = sharded(y)
+    from ..ops.chains_mv import MvChainMarginals as _M
+
+    return _M(mean, cov)

@@ -139,3 +139,53 @@ def test_compiled_generic_path_with_sharded_replicas():
     a, b = sweep(stacked)
     np.testing.assert_allclose(np.asarray(a), 1.0 + data.sum(0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(b), 1.0 + n - data.sum(0), rtol=1e-6)
+
+
+def test_global_sum_and_all_converged():
+    from cortex_tpu.parallel import all_converged, global_sum
+
+    mesh = make_mesh()
+    x = shard_replicas(jnp.arange(64.0), mesh)
+    total = global_sum(x, mesh)
+    assert float(total) == pytest.approx(float(jnp.arange(64.0).sum()))
+
+    deltas = shard_replicas(jnp.full(64, 1e-8), mesh)
+    assert bool(all_converged(deltas, 1e-6, mesh))
+    deltas = shard_replicas(jnp.full(64, 1e-8).at[13].set(0.5), mesh)
+    assert not bool(all_converged(deltas, 1e-6, mesh))
+
+
+def test_mv_time_sharded_smoothing_matches_single_device():
+    from cortex_tpu.ops.chains_mv import mv_lgssm_smooth
+    from cortex_tpu.parallel import mv_lgssm_smooth_time_sharded
+
+    rng = np.random.default_rng(7)
+    d, m, B, T = 2, 1, 3, 40
+    A = 0.9 * np.eye(d)
+    Q = 0.3 * np.eye(d)
+    H = rng.normal(size=(m, d))
+    R = 0.4 * np.eye(m)
+    m0 = np.zeros(d)
+    P0 = 2.0 * np.eye(d)
+    y = rng.normal(size=(B, T, m)).astype(np.float32)
+
+    mesh = make_mesh([("time", 8)])
+    result = mv_lgssm_smooth_time_sharded(
+        jnp.asarray(y), jnp.asarray(A, dtype=jnp.float32),
+        jnp.asarray(Q, dtype=jnp.float32), jnp.asarray(H, dtype=jnp.float32),
+        jnp.asarray(R, dtype=jnp.float32),
+        (jnp.asarray(m0, dtype=jnp.float32), jnp.asarray(P0, dtype=jnp.float32)),
+        mesh=mesh,
+    )
+    expected = mv_lgssm_smooth(
+        jnp.asarray(y), jnp.asarray(A, dtype=jnp.float32),
+        jnp.asarray(Q, dtype=jnp.float32), jnp.asarray(H, dtype=jnp.float32),
+        jnp.asarray(R, dtype=jnp.float32),
+        (jnp.asarray(m0, dtype=jnp.float32), jnp.asarray(P0, dtype=jnp.float32)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.cov), np.asarray(expected.cov), rtol=2e-3, atol=2e-3
+    )
