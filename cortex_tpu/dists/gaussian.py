@@ -170,6 +170,7 @@ class MvGaussian:
 
 
 def mv_from_mean_precision(mean, precision) -> MvGaussian:
+    """Construct from (mean ``(..., d)``, precision ``(..., d, d)``)."""
     mean = jnp.asarray(mean)
     precision = jnp.asarray(precision)
     xi = jnp.einsum("...ij,...j->...i", precision, mean)
@@ -177,6 +178,7 @@ def mv_from_mean_precision(mean, precision) -> MvGaussian:
 
 
 def mv_from_mean_cov(mean, cov) -> MvGaussian:
+    """Construct from (mean ``(..., d)``, covariance ``(..., d, d)``)."""
     mean = jnp.asarray(mean)
     W = jnp.linalg.inv(jnp.asarray(cov))
     return mv_from_mean_precision(mean, W)
