@@ -2,6 +2,8 @@
 
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
+from . import fit
+from .fit import LGSSMParams, fit_lgssm_ml
 from .gmm import GMM, GMMPosterior, GMMResult
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
@@ -26,4 +28,7 @@ __all__ = [
     "GMMFull",
     "GMMFullPosterior",
     "GMMFullResult",
+    "fit",
+    "LGSSMParams",
+    "fit_lgssm_ml",
 ]
