@@ -200,24 +200,32 @@ def extract_schedule(
     by_id = {id(s): s for s in candidates}
 
     def _availability_fixpoint(active: set) -> set:
+        """Worklist fixpoint, O(edges): drop signals with an unavailable
+        dependency and cascade removals through consumers of *uncomputed*
+        dependencies (a removed-but-compile-time-computed dependency remains
+        available as a frozen read)."""
         computable_set = set(active)
-        changed = True
-        while changed:
-            changed = False
-            for sid in list(computable_set):
-                s = by_id[sid]
-                for dep in s.get_dependencies():
-                    did = id(dep)
-                    available = (
-                        did in computable_set
-                        or did in source_ids
-                        or did in fixed_computed_ids
-                        or dep.is_computed()  # computed but excluded candidate
-                    )
-                    if not available:
-                        computable_set.discard(sid)
-                        changed = True
-                        break
+        consumers: Dict[int, List[int]] = defaultdict(list)
+        stack: List[int] = []
+        for sid in active:
+            s = by_id[sid]
+            for dep in s.get_dependencies():
+                did = id(dep)
+                if did in computable_set:
+                    if not dep.is_computed():
+                        consumers[did].append(sid)
+                elif not (
+                    did in source_ids
+                    or did in fixed_computed_ids
+                    or dep.is_computed()
+                ):
+                    stack.append(sid)
+        while stack:
+            sid = stack.pop()
+            if sid not in computable_set:
+                continue
+            computable_set.discard(sid)
+            stack.extend(consumers[sid])
         return computable_set
 
     def _ordering_deps(s: Signal, computable_set: set, strong_only: bool):
@@ -316,20 +324,21 @@ def extract_schedule(
 
     # -- bucket into phases and rule-key groups ----------------------------
     nphases = 1 + max((phase_of[id(s)] for s in computable), default=-1)
-    phases: List[List[PhaseGroup]] = []
-    for p in range(nphases):
-        groups: Dict[Tuple[str, Optional[Any], int], List[ComputeStep]] = defaultdict(
-            list
+    phase_groups: List[Dict[Any, List[ComputeStep]]] = [
+        defaultdict(list) for _ in range(nphases)
+    ]
+    for s in computable:
+        deps = s.get_dependencies()
+        weak_mask = tuple(s.dep_is_weak(i) for i in range(len(deps)))
+        key = _rule_key(engine, s)
+        if refine_key is not None:
+            key = key + (refine_key(engine, s),)
+        phase_groups[phase_of[id(s)]][key].append(
+            ComputeStep(s, s.variant, list(deps), weak_mask)
         )
-        for s in computable:
-            if phase_of[id(s)] != p:
-                continue
-            deps = s.get_dependencies()
-            weak_mask = tuple(s.dep_is_weak(i) for i in range(len(deps)))
-            key = _rule_key(engine, s)
-            if refine_key is not None:
-                key = key + (refine_key(engine, s),)
-            groups[key].append(ComputeStep(s, s.variant, list(deps), weak_mask))
-        phases.append([PhaseGroup(k, steps) for k, steps in groups.items()])
+    phases: List[List[PhaseGroup]] = [
+        [PhaseGroup(k, steps) for k, steps in groups.items()]
+        for groups in phase_groups
+    ]
 
     return StaticSchedule(phases, sources, initials, targets, linked, skipped)
