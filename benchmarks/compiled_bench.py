@@ -36,13 +36,11 @@ def main():
 
     g = BipartiteFactorGraph()
     p = g.add_variable(Variable(name="p"))
-    obs = []
     for i in range(n):
         o = g.add_variable(Variable(name="o", index=(i,)))
         f = g.add_factor(Factor(functional_form="bernoulli"))
         g.add_edge(p, f, Connection(label="out"))
         g.add_edge(o, f, Connection(label="out"))
-        obs.append((o, f))
     engine = InferenceEngine(model_engine=g)
 
     class Rules(BatchedProcessor):
@@ -63,9 +61,8 @@ def main():
     data = jnp.asarray((rng.random((n, R)) < 0.5).astype(np.float32))
     jax.block_until_ready(sweep(data))
 
-    datasets = [data + 0.0 * i for i in range(10)]
-    # Force distinct buffers to defeat remote execution caching.
-    datasets = [d * (1.0 + 1e-6 * i) for i, d in enumerate(datasets)]
+    # Distinct buffers defeat remote execution caching.
+    datasets = [data * (1.0 + 1e-6 * i) for i in range(10)]
     jax.block_until_ready(datasets)
     ts = []
     for d in datasets:

@@ -84,7 +84,7 @@ def fit_lgssm_ml(
         params, opt_state = carry
         loss, grads = loss_grad(params, y, prior)
         updates, opt_state = opt.update(grads, opt_state)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
     (params, _), losses = jax.lax.scan(

@@ -73,7 +73,12 @@ class GMMFullPosterior(NamedTuple):
 
     @property
     def expected_covariances(self) -> jax.Array:
-        return jnp.linalg.inv(self.expected_precisions)
+        """E[Σ_k] under the Wishart posterior: ``W_k^-1 / (ν_k − D − 1)``
+        (defined for ν > D + 1; the divisor is clamped positive, so values for
+        barely-populated components are upper bounds)."""
+        D = self.W.shape[-1]
+        divisor = jnp.maximum(self.nu - D - 1.0, 1e-6)
+        return jnp.linalg.inv(self.W) / divisor[..., None, None]
 
 
 class GMMFullResult(NamedTuple):

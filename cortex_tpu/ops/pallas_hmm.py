@@ -28,7 +28,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["hmm_forward_backward_pallas"]
+__all__ = [
+    "hmm_forward_backward_pallas",
+    "hmm_forward_backward_counts_pallas",
+    "HMMPallasPosterior",
+    "HMMPallasCounts",
+]
 
 
 class HMMPallasPosterior(NamedTuple):
@@ -56,7 +61,7 @@ def _fb_kernel(lik_ref, A_ref, pi_ref, gamma_ref, logz_ref):
         alpha_prev, logz = carry
         pred = jnp.dot(alpha_prev, A_ref[:, :], preferred_element_type=jnp.float32)
         a = pred * lik_ref[t]
-        n = jnp.sum(a, axis=-1, keepdims=True)
+        n = jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-30)
         a = a / n
         gamma_ref[t] = a
         return a, logz + jnp.log(n[:, 0])
@@ -71,9 +76,9 @@ def _fb_kernel(lik_ref, A_ref, pi_ref, gamma_ref, logz_ref):
         t = T - 2 - i
         w = lik_ref[t + 1] * beta_next  # (Rt, K)
         b = jnp.dot(w, A_ref[:, :].T, preferred_element_type=jnp.float32)
-        b = b / jnp.sum(b, axis=-1, keepdims=True)
+        b = b / jnp.maximum(jnp.sum(b, axis=-1, keepdims=True), 1e-30)
         g = gamma_ref[t] * b  # gamma_ref[t] still holds alpha_t
-        gamma_ref[t] = g / jnp.sum(g, axis=-1, keepdims=True)
+        gamma_ref[t] = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
         return b
 
     lax.fori_loop(0, T - 1, bwd, ones)
@@ -142,7 +147,7 @@ def _fb_alpha_kernel(lik_ref, A_ref, pi_ref, gamma_ref, alpha_ref, logz_ref):
     T = lik_ref.shape[0]
 
     a0 = pi_ref[0, :][None, :] * lik_ref[0]
-    n0 = jnp.sum(a0, axis=-1, keepdims=True)
+    n0 = jnp.maximum(jnp.sum(a0, axis=-1, keepdims=True), 1e-30)
     a0 = a0 / n0
     gamma_ref[0] = a0
     alpha_ref[0] = a0
@@ -152,7 +157,7 @@ def _fb_alpha_kernel(lik_ref, A_ref, pi_ref, gamma_ref, alpha_ref, logz_ref):
         alpha_prev, logz = carry
         pred = jnp.dot(alpha_prev, A_ref[:, :], preferred_element_type=jnp.float32)
         a = pred * lik_ref[t]
-        n = jnp.sum(a, axis=-1, keepdims=True)
+        n = jnp.maximum(jnp.sum(a, axis=-1, keepdims=True), 1e-30)
         a = a / n
         gamma_ref[t] = a
         alpha_ref[t] = a
@@ -167,9 +172,9 @@ def _fb_alpha_kernel(lik_ref, A_ref, pi_ref, gamma_ref, alpha_ref, logz_ref):
         t = T - 2 - i
         w = lik_ref[t + 1] * beta_next
         b = jnp.dot(w, A_ref[:, :].T, preferred_element_type=jnp.float32)
-        b = b / jnp.sum(b, axis=-1, keepdims=True)
+        b = b / jnp.maximum(jnp.sum(b, axis=-1, keepdims=True), 1e-30)
         g = gamma_ref[t] * b
-        gamma_ref[t] = g / jnp.sum(g, axis=-1, keepdims=True)
+        gamma_ref[t] = g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
         return b
 
     lax.fori_loop(0, T - 1, bwd, ones)

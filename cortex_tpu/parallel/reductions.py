@@ -50,7 +50,8 @@ def all_converged(
         out_specs=P(),
     )
     def _check(block):
-        violations = jnp.sum((block > tol).astype(jnp.int32))
+        # ~(x <= tol) so NaN counts as a violation (NaN > tol is False).
+        violations = jnp.sum(jnp.logical_not(block <= tol).astype(jnp.int32))
         return lax.psum(violations, axis)
 
     return _check(delta) == 0

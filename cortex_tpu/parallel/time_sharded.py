@@ -312,6 +312,4 @@ def mv_lgssm_smooth_time_sharded(
         return jnp.moveaxis(sfinal.g, 0, -2), jnp.moveaxis(sfinal.L, 0, -3)
 
     mean, cov = sharded(y)
-    from ..ops.chains_mv import MvChainMarginals as _M
-
-    return _M(mean, cov)
+    return MvChainMarginals(mean, cov)
