@@ -9,6 +9,7 @@ from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
+from .particle import ParticleFilterResult, particle_filter, systematic_resample
 
 __all__ = [
     "LGSSM",
@@ -31,4 +32,7 @@ __all__ = [
     "fit",
     "LGSSMParams",
     "fit_lgssm_ml",
+    "particle_filter",
+    "systematic_resample",
+    "ParticleFilterResult",
 ]
