@@ -50,6 +50,15 @@ def bench_core(create):
             return sources, sinks
 
         results[f"dense_build_n{n}"] = timeit(build)
+
+        def build_bulk():
+            sources = [create() for _ in range(n)]
+            sinks = [create() for _ in range(n)]
+            for snk in sinks:
+                snk.add_dependencies(sources)
+            return sources, sinks
+
+        results[f"dense_build_bulk_n{n}"] = timeit(build_bulk)
         sources, sinks = build()
 
         def update():

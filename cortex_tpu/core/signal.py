@@ -377,6 +377,26 @@ class Signal:
             self._is_potentially_pending = False
             self._is_pending = False
 
+    def add_dependencies(
+        self,
+        dependencies,
+        *,
+        weak: bool = False,
+        listen: bool = True,
+        check_computed: bool = True,
+        intermediate: bool = False,
+    ) -> None:
+        """Add several dependencies with shared flags (bulk counterpart of
+        :meth:`add_dependency`; one FFI call on the native backend)."""
+        for dependency in dependencies:
+            self.add_dependency(
+                dependency,
+                weak=weak,
+                listen=listen,
+                check_computed=check_computed,
+                intermediate=intermediate,
+            )
+
     # -- compute interface (reference src/signal.jl:372-424) --------------
     def compute(
         self,

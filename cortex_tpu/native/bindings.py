@@ -97,6 +97,16 @@ def load_native_lib() -> ctypes.CDLL:
             fn = getattr(lib, name)
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
             fn.restype = ctypes.c_int
+        lib.ce_add_dependencies_bulk.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.ce_scan_pending.argtypes = [
             ctypes.c_void_p,
             ctypes.c_int32,
@@ -261,6 +271,32 @@ class NativeSignal:
             self._engine._handle,
             self._sid,
             dependency._sid,
+            int(weak),
+            int(listen),
+            int(check_computed),
+            int(intermediate),
+        )
+
+    def add_dependencies(
+        self,
+        dependencies,
+        *,
+        weak: bool = False,
+        listen: bool = True,
+        check_computed: bool = True,
+        intermediate: bool = False,
+    ) -> None:
+        """Bulk edge insertion (shared flags): one FFI call for the whole
+        list — the fast path for large graph construction."""
+        n = len(dependencies)
+        if n == 0:
+            return
+        buf = (ctypes.c_int32 * n)(*[d._sid for d in dependencies])
+        self._engine._lib.ce_add_dependencies_bulk(
+            self._engine._handle,
+            self._sid,
+            buf,
+            n,
             int(weak),
             int(listen),
             int(check_computed),

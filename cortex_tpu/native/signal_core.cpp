@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -48,6 +49,7 @@ struct SignalState {
   std::vector<uint64_t> chunks{0};        // packed dep props
   std::vector<int32_t> deps;              // dependency signal ids
   std::vector<ListenerEdge> listeners;    // outgoing notification edges
+  std::unordered_set<int32_t> listener_ids;  // O(1) duplicate-edge check
 };
 
 struct Engine {
@@ -115,11 +117,8 @@ void ce_add_dependency(Engine* e, int32_t sig, int32_t dep, int weak,
 
   SignalState& d = e->signals[dep];
   // Duplicate-dependency hazard parity: only the first edge between this
-  // (dep, sig) pair carries notifications.
-  bool first = true;
-  for (const ListenerEdge& le : d.listeners) {
-    if (le.listener == sig) { first = false; break; }
-  }
+  // (dep, sig) pair carries notifications.  O(1) membership check.
+  const bool first = d.listener_ids.insert(sig).second;
   d.listeners.push_back(ListenerEdge{sig, slot, listen != 0, first});
 
   if (check_computed && d.computed) {
@@ -230,6 +229,21 @@ static int32_t scan_rec(Engine* e, int32_t sig, int32_t* out, int32_t cap,
 
 int32_t ce_scan_pending(Engine* e, int32_t root, int32_t* out, int32_t cap) {
   return scan_rec(e, root, out, cap, 0);
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Bulk edge insertion: add `n` dependencies (shared flags) to `sig` in one
+// call — amortizes the FFI cost of graph construction.
+void ce_add_dependencies_bulk(Engine* e, int32_t sig, const int32_t* deps,
+                              int32_t n, int weak, int listen,
+                              int check_computed, int intermediate) {
+  for (int32_t i = 0; i < n; ++i) {
+    ce_add_dependency(e, sig, deps[i], weak, listen, check_computed,
+                      intermediate);
+  }
 }
 
 }  // extern "C"

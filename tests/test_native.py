@@ -220,3 +220,17 @@ def test_native_perf_smoke():
     assert hits_nat == hits_py == n
     # Not a strict benchmark, but native should not be slower.
     assert t_nat < t_py
+
+
+def test_bulk_add_dependencies_matches_singles():
+    ns = NativeSignalEngine()
+    sources = [ns.create_signal() for _ in range(20)]
+    bulk = ns.create_signal()
+    single = ns.create_signal()
+    bulk.add_dependencies(sources, weak=False)
+    for s in sources:
+        single.add_dependency(s)
+    for i, s in enumerate(sources):
+        s.set_value(i)
+    assert bulk.is_pending() == single.is_pending() == True
+    assert len(bulk.get_dependencies()) == 20
