@@ -15,7 +15,7 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LGSSMParams", "fit_lgssm_ml"]
+__all__ = ["LGSSMParams", "fit_lgssm_ml", "fit_hgf_ml"]
 
 
 class LGSSMParams(NamedTuple):
@@ -91,3 +91,50 @@ def fit_lgssm_ml(
         step, (init, opt.init(init)), None, length=n_steps
     )
     return params, losses
+
+
+def fit_hgf_ml(
+    u: jax.Array,
+    n_steps: int = 300,
+    learning_rate: float = 0.05,
+    init_omega: float = -2.0,
+    init_log_theta: float = -3.0,
+    kappa: float = 1.0,
+    pi_u: float = 10.0,
+):
+    """Fit the continuous HGF's volatility parameters (ω, θ) by maximizing
+    the one-step-ahead predictive likelihood — the standard model-fitting
+    objective for hierarchical Gaussian filters, here as plain gradient
+    ascent through the filtering scan.
+
+    Returns ``((omega, theta), losses)``.
+    """
+    import optax
+
+    from .hgf import HGF
+
+    u = jnp.asarray(u)
+
+    def nll(params):
+        omega, log_theta = params
+        model = HGF(
+            kappa=kappa, omega=omega, theta=jnp.exp(log_theta), pi_u=pi_u
+        )
+        return -jnp.mean(model.log_likelihood(u))
+
+    opt = optax.adam(learning_rate)
+    loss_grad = jax.value_and_grad(nll)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = loss_grad(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    init = (jnp.asarray(init_omega), jnp.asarray(init_log_theta))
+    (params, _), losses = jax.lax.scan(
+        step, (init, opt.init(init)), None, length=n_steps
+    )
+    omega, log_theta = params
+    return (omega, jnp.exp(log_theta)), losses

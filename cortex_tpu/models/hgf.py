@@ -107,6 +107,32 @@ class HGF:
         new_state = HGFState(mu1_new, pi1_new, mu2_new, pi2_new)
         return new_state, delta1
 
+    def log_likelihood(self, u: jax.Array, state: HGFState = None) -> jax.Array:
+        """One-step-ahead predictive log likelihood Σ_t log N(u_t; μ̂1_t,
+        1/π̂1_t + 1/π_u), shape ``u.shape[:-1]`` — the fitting objective for
+        HGF parameter estimation (differentiable w.r.t. the parameters when
+        they are traced values)."""
+        u = jnp.asarray(u)
+        uT = jnp.moveaxis(u, -1, 0)
+        if state is None:
+            state = self.init_state(uT.shape[1:], u.dtype)
+
+        def body(st, u_t):
+            mu1, pi1, mu2, pi2 = st
+            log_nu = jnp.clip(
+                self.kappa * mu2 + self.omega, -self.max_log_nu, self.max_log_nu
+            )
+            pihat1 = 1.0 / (1.0 / pi1 + jnp.exp(log_nu))
+            pred_var = 1.0 / pihat1 + 1.0 / self.pi_u
+            ll = -0.5 * (
+                jnp.log(2.0 * jnp.pi * pred_var) + (u_t - mu1) ** 2 / pred_var
+            )
+            new_st, _ = self.step(st, u_t)
+            return new_st, ll
+
+        _, lls = lax.scan(body, state, uT)
+        return jnp.sum(lls, axis=0)
+
     def filter(self, u: jax.Array, state: HGFState = None):
         """Filter a series ``u`` of shape ``(..., T)``; returns the final
         state and the full trajectory ``(..., T)`` — one ``lax.scan``."""

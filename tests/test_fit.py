@@ -43,3 +43,26 @@ def test_fit_jits_end_to_end():
     _, y = true.sample(jax.random.PRNGKey(1), T=100, batch_shape=(16,))
     fitted = jax.jit(lambda data: fit_lgssm_ml(data, n_steps=50)[0])(y)
     assert np.isfinite(float(fitted.A))
+
+
+def test_hgf_log_likelihood_and_fit():
+    from cortex_tpu.models import HGF
+    from cortex_tpu.models.fit import fit_hgf_ml
+
+    # Data with genuine volatility structure: quiet then loud blocks.
+    rng = np.random.default_rng(0)
+    scales = np.repeat([0.05, 0.8, 0.05, 0.8], 100)
+    u = jnp.asarray(np.cumsum(scales * rng.normal(size=400)).astype(np.float32))
+
+    # log_likelihood is finite and differentiable w.r.t. omega.
+    base = HGF(omega=-2.0)
+    ll = float(base.log_likelihood(u))
+    assert np.isfinite(ll)
+
+    (omega, theta), losses = fit_hgf_ml(u, n_steps=150)
+    assert float(losses[-1]) < float(losses[0])
+    assert np.isfinite(float(omega)) and float(theta) > 0
+    # The fitted model predicts better than a badly mis-specified one.
+    fitted = HGF(omega=float(omega), theta=float(theta))
+    bad = HGF(omega=6.0, theta=1e-4)
+    assert float(fitted.log_likelihood(u)) > float(bad.log_likelihood(u))
