@@ -258,6 +258,10 @@ class InferenceEngine:
         return self.tracer
 
     # -- model-engine aliases (reference src/inference_engine.jl:139-205) --
+    def get_model_engine(self):
+        """Reference ``get_model_engine`` (``src/inference_engine.jl:119``)."""
+        return self.model_engine
+
     def get_variable(self, variable_id: int) -> Variable:
         return self.model_engine.get_variable(variable_id)
 

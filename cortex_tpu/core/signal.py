@@ -251,6 +251,17 @@ class Signal:
         self._listeners: List["Signal"] = []
 
     # -- basic accessors (reference src/signal.jl:124-219) ---------------
+    @staticmethod
+    def value_type() -> type:
+        """Parity shim for the reference's ``value_type`` (``src/signal.jl:124``):
+        Python signals are untyped, i.e. the ``D = Any`` case."""
+        return object
+
+    @staticmethod
+    def variant_type() -> type:
+        """Parity shim for ``variant_type`` (``src/signal.jl:133``)."""
+        return object
+
     def is_computed(self) -> bool:
         return self.value is not UNDEF
 
