@@ -52,7 +52,7 @@ def bench_compiled_tpu(replicas, T, iters=15):
     y = jnp.asarray(rng.normal(size=(replicas, T)).cumsum(axis=-1), dtype=jnp.float32)
 
     scan_fn = jax.jit(lambda data: model.smooth(data, method="scan"))
-    pallas_fn = lambda data: lgssm_smooth_pallas(data, tile=1024)
+    pallas_fn = lambda data: lgssm_smooth_pallas(data, tile=2048)
 
     results = {}
     for name, fn in [("scan", scan_fn), ("pallas", pallas_fn)]:

@@ -86,7 +86,7 @@ def lgssm_smooth_pallas(
     Q: float = 1.0,
     H: float = 1.0,
     R: float = 1.0,
-    tile: int = 1024,
+    tile: int = 2048,
     interpret: bool | None = None,
 ) -> ChainMarginals:
     """Fused BP smoothing sweep; ``y``: ``(n_replicas, T)`` float32.
