@@ -72,8 +72,31 @@ class HMM:
     log_pi: jax.Array
 
     # -- sum-product smoothing with known parameters -----------------------
-    def smooth(self, log_lik: jax.Array, log_A: jax.Array) -> HMMPosterior:
-        """Forward-backward state marginals given per-step log-likelihoods."""
+    def smooth(
+        self, log_lik: jax.Array, log_A: jax.Array, method: str = "scan"
+    ) -> HMMPosterior:
+        """Forward-backward state marginals given per-step log-likelihoods.
+
+        ``method="pallas"`` routes through the fused scaled kernel (requires
+        ``log_lik`` of shape ``(R, T, K)``); results come back in the same
+        log-space :class:`HMMPosterior` container.
+        """
+        if method == "pallas":
+            from ..ops.pallas_hmm import hmm_forward_backward_counts_pallas
+
+            if log_lik.ndim != 3:
+                raise ValueError(
+                    "method='pallas' requires log_lik of shape (R, T, K)"
+                )
+            out = hmm_forward_backward_counts_pallas(
+                jnp.exp(log_lik), jnp.exp(log_A), jnp.exp(self.log_pi)
+            )
+            tiny = jnp.asarray(1e-30, log_lik.dtype)
+            return HMMPosterior(
+                jnp.log(out.gamma + tiny),
+                jnp.log(out.xi_sum + tiny),
+                out.log_evidence,
+            )
         return hmm_forward_backward(log_lik, log_A, self.log_pi)
 
     def viterbi(self, log_lik: jax.Array, log_A: jax.Array) -> jax.Array:

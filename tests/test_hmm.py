@@ -234,3 +234,23 @@ def test_fit_vmp_pallas_requires_pooled():
         model.fit_vmp(
             jnp.zeros((4, 10), dtype=jnp.int32), n_symbols=2, method="pallas"
         )
+
+
+def test_smooth_pallas_matches_scan():
+    rng = np.random.default_rng(11)
+    R_, T, K = 6, 20, 3
+    log_lik = jnp.asarray(rng.normal(size=(R_, T, K)).astype(np.float32))
+    A = rng.random((K, K)).astype(np.float32) + 0.2
+    A /= A.sum(1, keepdims=True)
+    model = HMM(K=K, log_pi=jnp.log(jnp.full(K, 1.0 / K)))
+
+    ref = model.smooth(log_lik, jnp.log(jnp.asarray(A)))
+    pal = model.smooth(log_lik, jnp.log(jnp.asarray(A)), method="pallas")
+    np.testing.assert_allclose(
+        np.exp(np.asarray(pal.log_gamma)),
+        np.exp(np.asarray(ref.log_gamma)),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal.log_evidence), np.asarray(ref.log_evidence), rtol=1e-4
+    )
