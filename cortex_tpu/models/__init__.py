@@ -9,6 +9,7 @@ from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
+from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
 
 __all__ = [
@@ -36,4 +37,6 @@ __all__ = [
     "particle_filter",
     "systematic_resample",
     "ParticleFilterResult",
+    "NonlinearSSM",
+    "NLSSMBeliefs",
 ]
