@@ -3,7 +3,7 @@
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from . import fit
-from .fit import LGSSMParams, fit_hgf_ml, fit_lgssm_ml
+from .fit import LGSSMParams, fit_hgf_ml, fit_lgssm_em, fit_lgssm_ml
 from .gmm import GMM, GMMPosterior, GMMResult
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
@@ -33,6 +33,7 @@ __all__ = [
     "fit",
     "LGSSMParams",
     "fit_lgssm_ml",
+    "fit_lgssm_em",
     "fit_hgf_ml",
     "particle_filter",
     "systematic_resample",

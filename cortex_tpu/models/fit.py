@@ -15,7 +15,7 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LGSSMParams", "fit_lgssm_ml", "fit_hgf_ml"]
+__all__ = ["LGSSMParams", "fit_lgssm_ml", "fit_lgssm_em", "fit_hgf_ml"]
 
 
 class LGSSMParams(NamedTuple):
@@ -91,6 +91,83 @@ def fit_lgssm_ml(
         step, (init, opt.init(init)), None, length=n_steps
     )
     return params, losses
+
+
+def fit_lgssm_em(
+    y: jax.Array,
+    n_iters: int = 50,
+    init: LGSSMParams = None,
+    prior: Tuple[float, float] = (0.0, 10.0),
+) -> Tuple[LGSSMParams, jax.Array]:
+    """Maximum-likelihood LGSSM parameters (``A``, ``Q``, ``R``; ``H = 1``)
+    by expectation-maximization with a *closed-form* M-step.
+
+    The E-step is the RTS smoother plus the lag-one smoothed cross-covariance
+    ``Cov(x_{t+1}, x_t | y) = G_t v^s_{t+1}`` (Shumway & Stoffer); the M-step
+    pools sufficient statistics over replicas and time.  The whole EM loop is
+    one jitted ``lax.scan`` — no line searches, no learning rate, monotone in
+    the log evidence.  Complements :func:`fit_lgssm_ml` (Adam on the same
+    objective); the reference has no parameter learning at all (its rules are
+    fixed closed-form messages, `/root/reference/src/inference_engine.jl:331-477`).
+
+    ``y``: ``(..., T)``; returns ``(params, log_evidence_trace)`` where the
+    trace entry ``i`` is the pooled log evidence *under the params entering
+    iteration i* (so it is non-decreasing).
+    """
+    y = jnp.asarray(y)
+    yT = jnp.moveaxis(y, -1, 0)  # (T, ...replicas)
+    T = yT.shape[0]
+    n_obs = yT.size
+    n_trans = n_obs - yT[0].size
+    pm = jnp.broadcast_to(jnp.asarray(prior[0], y.dtype), yT.shape[1:])
+    pv = jnp.broadcast_to(jnp.asarray(prior[1], y.dtype), yT.shape[1:])
+    if init is None:
+        v = jnp.var(y) / 2 + 1e-3
+        init = LGSSMParams(jnp.asarray(0.5, y.dtype), jnp.log(v), jnp.log(v))
+
+    def e_step(A, Q, R):
+        def fstep(carry, obs):
+            m, v = carry  # predictive belief for this step
+            s = v + R
+            ll = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - m) ** 2 / s)
+            k = v / s
+            m_f = m + k * (obs - m)
+            v_f = v - k * v
+            return (A * m_f, A * A * v_f + Q), (m_f, v_f, ll)
+
+        _, (m_fs, v_fs, lls) = jax.lax.scan(fstep, (pm, pv), yT)
+
+        def bstep(carry, inp):
+            m_next, v_next = carry
+            m_f, v_f = inp
+            v_pred = A * A * v_f + Q
+            G = v_f * A / v_pred
+            m_s = m_f + G * (m_next - A * m_f)
+            v_s = v_f + G * G * (v_next - v_pred)
+            return (m_s, v_s), (m_s, v_s, G * v_next)
+
+        _, (m_ss, v_ss, cs) = jax.lax.scan(
+            bstep, (m_fs[-1], v_fs[-1]), (m_fs[:-1], v_fs[:-1]), reverse=True
+        )
+        m_s = jnp.concatenate([m_ss, m_fs[-1:]], axis=0)
+        v_s = jnp.concatenate([v_ss, v_fs[-1:]], axis=0)
+        return m_s, v_s, cs, jnp.sum(lls)
+
+    def em_iter(params, _):
+        A, Q, R = params.A, params.Q, params.R
+        m_s, v_s, cs, ll = e_step(A, Q, R)
+        ex2 = v_s + m_s**2
+        s11 = jnp.sum(ex2[:-1])
+        s00 = jnp.sum(ex2[1:])
+        s10 = jnp.sum(cs + m_s[1:] * m_s[:-1])
+        A_new = s10 / s11
+        Q_new = (s00 - 2.0 * A_new * s10 + A_new**2 * s11) / n_trans
+        R_new = jnp.sum((yT - m_s) ** 2 + v_s) / n_obs
+        new = LGSSMParams(A_new, jnp.log(Q_new), jnp.log(R_new))
+        return new, ll
+
+    params, lls = jax.lax.scan(em_iter, init, None, length=n_iters)
+    return params, lls
 
 
 def fit_hgf_ml(

@@ -66,3 +66,42 @@ def test_hgf_log_likelihood_and_fit():
     fitted = HGF(omega=float(omega), theta=float(theta))
     bad = HGF(omega=6.0, theta=1e-4)
     assert float(fitted.log_likelihood(u)) > float(bad.log_likelihood(u))
+
+
+def test_em_recovers_parameters_and_is_monotone():
+    from cortex_tpu.models.fit import fit_lgssm_em
+
+    true = LGSSM(A=0.8, Q=0.3, H=1.0, R=0.5)
+    _, y = true.sample(jax.random.PRNGKey(2), T=200, batch_shape=(64,))
+
+    init = LGSSMParams(jnp.asarray(0.2), jnp.log(jnp.asarray(1.5)), jnp.log(jnp.asarray(1.5)))
+    params, lls = fit_lgssm_em(y, n_iters=60, init=init)
+
+    # Monotone log evidence (closed-form M-step), up to float tolerance.
+    lls = np.asarray(lls, dtype=np.float64)
+    assert np.all(np.diff(lls) > -1e-3 * np.abs(lls[:-1]))
+    assert float(params.A) == pytest.approx(0.8, abs=0.08)
+    assert float(params.Q) == pytest.approx(0.3, abs=0.1)
+    assert float(params.R) == pytest.approx(0.5, abs=0.1)
+
+
+def test_em_and_adam_agree():
+    """Both optimizers maximize the same exact log evidence -> same optimum."""
+    from cortex_tpu.models.fit import fit_lgssm_em
+
+    true = LGSSM(A=0.9, Q=0.4, H=1.0, R=0.3)
+    _, y = true.sample(jax.random.PRNGKey(3), T=150, batch_shape=(32,))
+    em, _ = fit_lgssm_em(y, n_iters=120)
+    ml, _ = fit_lgssm_ml(y, n_steps=600, learning_rate=0.03)
+    assert float(em.A) == pytest.approx(float(ml.A), abs=0.05)
+    assert float(em.Q) == pytest.approx(float(ml.Q), abs=0.08)
+    assert float(em.R) == pytest.approx(float(ml.R), abs=0.08)
+
+
+def test_em_jits_end_to_end():
+    from cortex_tpu.models.fit import fit_lgssm_em
+
+    true = LGSSM(A=0.9, Q=0.2, H=1.0, R=0.2)
+    _, y = true.sample(jax.random.PRNGKey(4), T=100, batch_shape=(8,))
+    fitted = jax.jit(lambda data: fit_lgssm_em(data, n_iters=20)[0])(y)
+    assert np.isfinite(float(fitted.A)) and float(fitted.Q) > 0
