@@ -1,7 +1,7 @@
 # Developer targets (parity with the reference's Makefile: test / benchmark /
 # format / docs).
 
-.PHONY: test test-fast bench native clean docs
+.PHONY: test test-fast bench bench-save bench-judge native clean docs
 
 test:
 	python -m pytest tests/ -q
@@ -11,6 +11,16 @@ test-fast:
 
 bench:
 	python bench.py
+
+# Regression judging (reference: scripts/bench.jl judge vs branch).
+# Usage: make bench-save TAG=before ... make bench-judge TAG=after BASE=before
+TAG ?= current
+BASE ?= baseline
+bench-save:
+	python benchmarks/judge.py run --tag $(TAG)
+
+bench-judge:
+	python benchmarks/judge.py judge $(TAG) $(BASE)
 
 native:
 	g++ -O3 -std=c++17 -shared -fPIC \
