@@ -33,6 +33,7 @@ MODULES = [
     "cortex_tpu.ops.pallas_hmm",
     "cortex_tpu.ops.nonlinear",
     "cortex_tpu.ops.ep",
+    "cortex_tpu.ops.gabp",
     "cortex_tpu.models",
     "cortex_tpu.parallel",
     "cortex_tpu.utils",
