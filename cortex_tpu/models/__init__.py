@@ -11,6 +11,7 @@ from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
 from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
+from .slds import SLDS, SLDSBeliefs
 
 __all__ = [
     "LGSSM",
@@ -40,4 +41,6 @@ __all__ = [
     "ParticleFilterResult",
     "NonlinearSSM",
     "NLSSMBeliefs",
+    "SLDS",
+    "SLDSBeliefs",
 ]
