@@ -11,6 +11,7 @@ from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
 from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
+from .rbpf import RBPFResult, rbpf_filter
 from .slds import SLDS, SLDSBeliefs
 
 __all__ = [
@@ -43,4 +44,6 @@ __all__ = [
     "NLSSMBeliefs",
     "SLDS",
     "SLDSBeliefs",
+    "rbpf_filter",
+    "RBPFResult",
 ]
