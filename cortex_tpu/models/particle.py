@@ -33,14 +33,24 @@ class ParticleFilterResult(NamedTuple):
 def systematic_resample(key: jax.Array, log_weights: jax.Array) -> jax.Array:
     """Systematic (low-variance) resampling: returns ``(N,)`` int32 indices.
 
-    One uniform offset per sweep; stratified positions ``(i + u)/N`` are
-    inverted through the weight CDF with ``searchsorted``.
+    One uniform offset per sweep; stratified positions ``(j + u)/N`` are
+    inverted through the weight CDF.  TPU-shaped O(N) inversion: because the
+    positions are already sorted, particle ``i``'s children occupy output
+    slots ``[C_{i-1}, C_i)`` with ``C_i = ceil(N·cdf_i − u)`` — one
+    scatter-max of segment starts followed by a ``cummax`` recovers the
+    owner of every slot (a ``searchsorted`` here lowers to ~30× slower code
+    under vmap on TPU).
     """
     n = log_weights.shape[0]
     w = jax.nn.softmax(log_weights)
     cdf = jnp.cumsum(w)
-    u = (jax.random.uniform(key) + jnp.arange(n)) / n
-    return jnp.clip(jnp.searchsorted(cdf, u), 0, n - 1).astype(jnp.int32)
+    u = jax.random.uniform(key)
+    C = jnp.clip(jnp.ceil(cdf * n - u), 0, n).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), C[:-1]])
+    owners = jnp.zeros((n,), jnp.int32).at[starts].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return jax.lax.cummax(owners)
 
 
 def particle_filter(
