@@ -138,11 +138,13 @@ def classify(
             t, b = target[core][name], baseline[core][name]
             tr = t["time_s"] / b["time_s"] if b["time_s"] > 0 else float("inf")
             base_alloc = b.get("alloc_bytes", 0)
-            mr = (
-                t.get("alloc_bytes", 0) / base_alloc
-                if base_alloc > 0
-                else 1.0
-            )
+            t_alloc = t.get("alloc_bytes", 0)
+            if base_alloc > 0:
+                mr = t_alloc / base_alloc
+            else:
+                # Zero baseline: any new allocation is an infinite-ratio
+                # regression (mirrors the time axis), none stays invariant.
+                mr = 1.0 if t_alloc == 0 else float("inf")
             worse = tr > 1.0 + time_tol or mr > 1.0 + mem_tol
             better = tr < 1.0 - time_tol or mr < 1.0 - mem_tol
             verdict = (
@@ -152,14 +154,20 @@ def classify(
     return rows
 
 
-def render_markdown(rows: list, target_meta: dict, baseline_meta: dict) -> str:
+def render_markdown(
+    rows: list,
+    target_meta: dict,
+    baseline_meta: dict,
+    time_tol: float = TIME_TOL,
+    mem_tol: float = MEM_TOL,
+) -> str:
     """PkgBenchmark-style judgement report."""
     lines = [
         "# Benchmark judgement",
         "",
         f"Target: `{target_meta.get('tag', '?')}` @ {target_meta.get('git_rev', '?')}  ",
         f"Baseline: `{baseline_meta.get('tag', '?')}` @ {baseline_meta.get('git_rev', '?')}  ",
-        f"Tolerances: time {TIME_TOL:.0%}, memory {MEM_TOL:.0%}",
+        f"Tolerances: time {time_tol:.0%}, memory {mem_tol:.0%}",
         "",
         "| ID | time ratio | memory ratio | verdict |",
         "|---|---|---|---|",
@@ -184,7 +192,9 @@ def judge(
     target = json.loads(pathlib.Path(target_path).read_text())
     baseline = json.loads(pathlib.Path(baseline_path).read_text())
     rows = classify(target["results"], baseline["results"], time_tol, mem_tol)
-    report = render_markdown(rows, target.get("meta", {}), baseline.get("meta", {}))
+    report = render_markdown(
+        rows, target.get("meta", {}), baseline.get("meta", {}), time_tol, mem_tol
+    )
     RESULTS_DIR.mkdir(exist_ok=True)
     out = RESULTS_DIR / (
         f"judge_{target.get('meta', {}).get('tag', 'target')}"

@@ -15,6 +15,8 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.chains import scalar_kalman_update
+
 __all__ = ["LGSSMParams", "fit_lgssm_ml", "fit_lgssm_em", "fit_hgf_ml"]
 
 
@@ -45,11 +47,7 @@ def _neg_log_evidence(params: LGSSMParams, y: jax.Array, prior) -> jax.Array:
 
     def step(carry, obs):
         m, v = carry
-        s = v + R
-        ll = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - m) ** 2 / s)
-        k = v / s
-        m_f = m + k * (obs - m)
-        v_f = v - k * v
+        m_f, v_f, ll = scalar_kalman_update(obs, m, v, 1.0, R)
         return (A * m_f, A * A * v_f + Q), ll
 
     _, lls = jax.lax.scan(step, (pm, pv), yT)
@@ -128,11 +126,7 @@ def fit_lgssm_em(
     def e_step(A, Q, R):
         def fstep(carry, obs):
             m, v = carry  # predictive belief for this step
-            s = v + R
-            ll = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - m) ** 2 / s)
-            k = v / s
-            m_f = m + k * (obs - m)
-            v_f = v - k * v
+            m_f, v_f, ll = scalar_kalman_update(obs, m, v, 1.0, R)
             return (A * m_f, A * A * v_f + Q), (m_f, v_f, ll)
 
         _, (m_fs, v_fs, lls) = jax.lax.scan(fstep, (pm, pv), yT)

@@ -27,7 +27,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.chains import ChainMarginals, lgssm_smooth_assoc, lgssm_smooth_scan
+from ..ops.chains import (
+    ChainMarginals,
+    lgssm_smooth_assoc,
+    lgssm_smooth_scan,
+    scalar_kalman_update,
+)
 
 __all__ = ["LGSSM"]
 
@@ -113,11 +118,7 @@ class LGSSM:
 
         def step(carry, obs):
             m, v = carry
-            s = H * H * v + R
-            ll = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - H * m) ** 2 / s)
-            k = v * H / s
-            m_f = m + k * (obs - H * m)
-            v_f = v - k * H * v
+            m_f, v_f, ll = scalar_kalman_update(obs, m, v, H, R)
             return (A * m_f, A * A * v_f + Q), ll
 
         _, lls = jax.lax.scan(step, (pm, pv), yT)

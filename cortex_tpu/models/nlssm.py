@@ -58,8 +58,12 @@ class NonlinearSSM:
         )
 
     def filter(self, y: jax.Array, method: str = "ukf", **kw) -> NLSSMBeliefs:
-        """Filtered beliefs p(x_t | y_{1:t}); ``y`` shaped ``(..., T, m)``."""
+        """Filtered beliefs p(x_t | y_{1:t}); ``y`` shaped ``(..., T, m)``.
+        Keyword options (``alpha``/``beta``/``kappa``/``jitter``) apply to
+        the UKF only."""
         if method == "ekf":
+            if kw:
+                raise TypeError(f"ekf takes no options, got {sorted(kw)}")
             return ekf_filter(*self._args(y))
         if method == "ukf":
             return ukf_filter(*self._args(y), **kw)
@@ -69,6 +73,8 @@ class NonlinearSSM:
         """Smoothed beliefs p(x_t | y_{1:T}) via the extended/unscented RTS
         backward sweep — the nonlinear counterpart of chain BP smoothing."""
         if method == "ekf":
+            if kw:
+                raise TypeError(f"ekf takes no options, got {sorted(kw)}")
             return ekf_smooth(*self._args(y))
         if method == "ukf":
             return ukf_smooth(*self._args(y), **kw)

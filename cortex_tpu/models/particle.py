@@ -7,8 +7,9 @@ particle filter is one `lax.scan` over time with `(n_particles, ...)` arrays
 
 Generic over the model: the user supplies ``transition(key, x) -> x'`` and
 ``log_likelihood(y, x) -> logw`` (both vectorized over the particle axis).
-Resampling is systematic (low-variance), implemented with a cumulative-sum
-search — O(N log N), fully jittable.
+Resampling is systematic (low-variance), implemented as an O(N)
+scatter-max + cummax inversion of the weight CDF — fully jittable and
+TPU-friendly (see :func:`systematic_resample`).
 """
 
 from __future__ import annotations

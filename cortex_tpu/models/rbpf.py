@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.chains import scalar_kalman_update
 from .particle import systematic_resample
 from .slds import SLDS
 
@@ -59,11 +60,7 @@ def rbpf_filter(
     log_pi = jnp.log(Pi)
 
     def kalman_update(s, m_pred, v_pred, obs):
-        Hs, Rs = H[s], R[s]
-        S = Hs * Hs * v_pred + Rs
-        ll = -0.5 * (jnp.log(2.0 * jnp.pi * S) + (obs - Hs * m_pred) ** 2 / S)
-        g = v_pred * Hs / S
-        return m_pred + g * (obs - Hs * m_pred), v_pred - g * Hs * v_pred, ll
+        return scalar_kalman_update(obs, m_pred, v_pred, H[s], R[s])
 
     def moments(logw, s, m, v):
         w = jax.nn.softmax(logw)

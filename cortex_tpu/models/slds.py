@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.chains import scalar_kalman_update
+
 __all__ = ["SLDS", "SLDSBeliefs"]
 
 
@@ -89,11 +91,7 @@ class SLDS:
         logw = jnp.broadcast_to(jnp.log(w0), batch + (K,))
 
         def measurement(m_pred, v_pred, obs, logw_pred):
-            s = H * H * v_pred + R
-            loglik_k = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - H * m_pred) ** 2 / s)
-            k_gain = v_pred * H / s
-            m = m_pred + k_gain * (obs - H * m_pred)
-            v = v_pred - k_gain * H * v_pred
+            m, v, loglik_k = scalar_kalman_update(obs, m_pred, v_pred, H, R)
             joint = logw_pred + loglik_k
             step_ll = jax.nn.logsumexp(joint, axis=-1)
             return m, v, joint - step_ll[..., None], step_ll

@@ -5,6 +5,7 @@ from .chains import (
     lgssm_messages_scan,
     lgssm_smooth_assoc,
     lgssm_smooth_scan,
+    scalar_kalman_update,
 )
 from .chains_mv import MvChainMarginals, mv_lgssm_smooth
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
@@ -19,6 +20,7 @@ __all__ = [
     "lgssm_smooth_scan",
     "lgssm_smooth_assoc",
     "lgssm_messages_scan",
+    "scalar_kalman_update",
     "MvChainMarginals",
     "mv_lgssm_smooth",
     "HMMPosterior",

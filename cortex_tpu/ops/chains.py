@@ -41,7 +41,24 @@ __all__ = [
     "lgssm_smooth_scan",
     "lgssm_smooth_assoc",
     "lgssm_messages_scan",
+    "scalar_kalman_update",
 ]
+
+
+def scalar_kalman_update(obs, m_pred, v_pred, H=1.0, R=1.0):
+    """Scalar Kalman measurement update, elementwise over any batch shape.
+
+    The one canonical implementation of the innovation/gain/log-density
+    triple used by the LGSSM evidence, EM, the IMM (SLDS) filter and the
+    RBPF — returns ``(m_filt, v_filt, loglik)`` with
+    ``loglik = log N(obs; H·m_pred, H²·v_pred + R)``.
+    """
+    s = H * H * v_pred + R
+    ll = -0.5 * (jnp.log(2.0 * jnp.pi * s) + (obs - H * m_pred) ** 2 / s)
+    g = v_pred * H / s
+    m = m_pred + g * (obs - H * m_pred)
+    v = v_pred - g * H * v_pred
+    return m, v, ll
 
 
 class ChainMarginals(NamedTuple):
