@@ -10,7 +10,7 @@ from .chains import (
 from .chains_mv import MvChainMarginals, mv_lgssm_smooth
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
 from .ep import EPResult, ep_linear_model, gauss_hermite_tilted, probit_tilted_moments
-from .gabp import GaBPResult, gabp_solve, grid_edges
+from .gabp import GaBPResult, gabp_grid_solve, gabp_solve, grid_edges
 from .nonlinear import NLSSMBeliefs, ekf_filter, ekf_smooth, ukf_filter, ukf_smooth
 from .pallas_kernels import lgssm_smooth_pallas
 from .pallas_hmm import hmm_forward_backward_pallas
@@ -30,6 +30,7 @@ __all__ = [
     "hmm_forward_backward_pallas",
     "GaBPResult",
     "gabp_solve",
+    "gabp_grid_solve",
     "grid_edges",
     "EPResult",
     "ep_linear_model",

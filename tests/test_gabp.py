@@ -102,3 +102,55 @@ def test_denoising_improves_over_observation():
         np.mean((noisy - clean) ** 2)
     )
     assert float(res.delta) < 1e-4
+
+
+def test_grid_solve_matches_edge_list_solver():
+    """The stencil path must reproduce the generic edge-list GaBP exactly
+    (same Jacobi schedule, same damping)."""
+    from cortex_tpu.ops.gabp import gabp_grid_solve
+
+    h, w = 5, 9
+    n = h * w
+    rng = np.random.default_rng(4)
+    edges = grid_edges(h, w)
+    lam_diag = jnp.asarray(4.0 + rng.random((h, w)), dtype=jnp.float32)
+    coupling = -0.9
+    lam_off = jnp.asarray(np.full(len(edges), coupling), dtype=jnp.float32)
+    eta = jnp.asarray(rng.normal(size=(3, h, w)), dtype=jnp.float32)
+
+    for iters, damping in ((7, 0.7), (60, 1.0)):
+        grid = gabp_grid_solve(lam_diag, eta, coupling, n_iters=iters, damping=damping)
+        flat = gabp_solve(
+            lam_diag.reshape(n), eta.reshape(3, n), jnp.asarray(edges), lam_off,
+            n_iters=iters, damping=damping,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grid.mean).reshape(3, n), np.asarray(flat.mean),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grid.variance).reshape(n), np.asarray(flat.variance),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_grid_solve_converges_and_denoises():
+    from cortex_tpu.ops.gabp import gabp_grid_solve
+
+    h, w = 16, 16
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.linspace(0, 2, w), np.linspace(0, 2, h))
+    clean = np.sin(np.pi * xx) * np.cos(np.pi * yy)
+    noisy = clean + 0.4 * rng.normal(size=(h, w))
+    obs_prec, smooth = 2.0, 1.2
+    deg = np.full((h, w), 4.0)
+    deg[0, :] -= 1; deg[-1, :] -= 1; deg[:, 0] -= 1; deg[:, -1] -= 1
+    res = gabp_grid_solve(
+        jnp.asarray(obs_prec + smooth * deg, dtype=jnp.float32),
+        jnp.asarray(obs_prec * noisy, dtype=jnp.float32),
+        -smooth, n_iters=150,
+    )
+    assert float(res.delta) < 1e-4
+    assert np.sqrt(np.mean((np.asarray(res.mean) - clean) ** 2)) < 0.6 * np.sqrt(
+        np.mean((noisy - clean) ** 2)
+    )
