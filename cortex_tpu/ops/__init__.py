@@ -11,6 +11,7 @@ from .chains_mv import MvChainMarginals, mv_lgssm_smooth
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
 from .ep import EPResult, ep_linear_model, gauss_hermite_tilted, probit_tilted_moments
 from .gabp import GaBPResult, gabp_grid_solve, gabp_solve, grid_edges
+from .hmc import HMCResult, hmc_sample
 from .nonlinear import NLSSMBeliefs, ekf_filter, ekf_smooth, ukf_filter, ukf_smooth
 from .pallas_kernels import lgssm_smooth_pallas
 from .pallas_hmm import hmm_forward_backward_pallas
@@ -31,6 +32,8 @@ __all__ = [
     "GaBPResult",
     "gabp_solve",
     "gabp_grid_solve",
+    "HMCResult",
+    "hmc_sample",
     "grid_edges",
     "EPResult",
     "ep_linear_model",

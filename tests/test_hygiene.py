@@ -34,6 +34,7 @@ MODULES = [
     "cortex_tpu.ops.nonlinear",
     "cortex_tpu.ops.ep",
     "cortex_tpu.ops.gabp",
+    "cortex_tpu.ops.hmc",
     "cortex_tpu.models",
     "cortex_tpu.parallel",
     "cortex_tpu.utils",
