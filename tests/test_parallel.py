@@ -189,3 +189,61 @@ def test_mv_time_sharded_smoothing_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(result.cov), np.asarray(expected.cov), rtol=2e-3, atol=2e-3
     )
+
+
+def test_replica_sharded_slds_matches_single_device():
+    """The IMM filter's regimes x replicas math is pure SPMD: sharding the
+    replica axis must be bit-compatible with the single-device run."""
+    from cortex_tpu.models import SLDS
+
+    model = SLDS(
+        Pi=jnp.array([[0.95, 0.05], [0.05, 0.95]]),
+        A=jnp.array([0.98, 0.98]), Q=jnp.array([0.02, 2.0]),
+        H=jnp.array([1.0, 1.0]), R=jnp.array([0.1, 0.1]), prior=(0.0, 1.0),
+    )
+    _, _, y = model.sample(jax.random.PRNGKey(0), T=40, batch_shape=(64,))
+    expected = model.filter(y)
+
+    mesh = make_mesh()
+    y_sharded = shard_replicas(jnp.asarray(y), mesh)
+    got = jax.jit(model.filter)(y_sharded)
+    np.testing.assert_allclose(got.mean, expected.mean, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        got.regime_probs, expected.regime_probs, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(got.loglik, expected.loglik, rtol=1e-5)
+
+
+def test_replica_sharded_gabp_matches_single_device():
+    from cortex_tpu.ops import gabp_grid_solve
+
+    h, w = 8, 8
+    rng = np.random.default_rng(1)
+    lam = jnp.asarray(np.full((h, w), 4.0, np.float32))
+    eta = jnp.asarray(rng.normal(size=(64, h, w)).astype(np.float32))
+    expected = gabp_grid_solve(lam, eta, -0.8, n_iters=60)
+
+    mesh = make_mesh()
+    eta_sharded = jax.device_put(eta, NamedSharding(mesh, P("replica", None, None)))
+    got = jax.jit(lambda e: gabp_grid_solve(lam, e, -0.8, n_iters=60))(eta_sharded)
+    np.testing.assert_allclose(got.mean, expected.mean, rtol=1e-5, atol=1e-6)
+
+
+def test_vmapped_sharded_hmc_chains():
+    """Chains shard over the replica mesh axis — 8 devices, one chain each."""
+    from cortex_tpu.ops import hmc_sample
+
+    def logp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    mesh = make_mesh()
+    keys = jax.device_put(keys, NamedSharding(mesh, P("replica", None)))
+    run = jax.jit(
+        jax.vmap(lambda k: hmc_sample(k, logp, jnp.zeros(3), n_samples=100, n_warmup=100))
+    )
+    res = run(keys)
+    assert res.samples.shape == (8, 100, 3)
+    draws = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.15)
+    np.testing.assert_allclose(draws.std(axis=0), 1.0, atol=0.15)
