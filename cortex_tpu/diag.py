@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DivergenceError", "check_finite", "ConvergenceMonitor"]
+__all__ = ["DivergenceError", "check_finite", "ConvergenceMonitor", "rhat", "ess"]
 
 
 class DivergenceError(RuntimeError):
@@ -86,3 +86,53 @@ class ConvergenceMonitor:
                 f"{int(d.sum())} replica(s) diverged during {where} "
                 f"(free energy rising {self.patience}+ iterations or non-finite)"
             )
+
+
+def rhat(chains: "jax.Array") -> "jax.Array":
+    """Split-R̂ convergence diagnostic (Gelman–Rubin, rank-free variant).
+
+    ``chains``: ``(M, N, ...)`` — M chains of N draws of arbitrary-shaped
+    quantities; returns R̂ per quantity, shape ``(...)``.  Values near 1
+    indicate the chains agree; > 1.01 is the conventional warning level.
+    Each chain is split in half (catching within-chain drift), then
+    R̂² = (W·(n−1)/n + B/n) / W with B/W the between/within variances.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(chains)
+    m, n = x.shape[0], x.shape[1]
+    half = n // 2
+    x = jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)  # (2M, half)
+    chain_means = jnp.mean(x, axis=1)
+    chain_vars = jnp.var(x, axis=1, ddof=1)
+    w = jnp.mean(chain_vars, axis=0)
+    b = half * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = w * (half - 1) / half + b / half
+    return jnp.sqrt(var_plus / w)
+
+
+def ess(chains: "jax.Array", max_lag: int = 200) -> "jax.Array":
+    """Effective sample size from M×N draws (Geyer initial-positive-sequence
+    truncation on the chain-averaged autocorrelation).
+
+    ``chains``: ``(M, N)`` scalar draws (apply per quantity); returns a
+    scalar ESS ≤ M·N.  IID draws give ≈ M·N; an AR(1) chain with
+    coefficient φ gives ≈ M·N·(1−φ)/(1+φ).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(chains)
+    m, n = x.shape
+    max_lag = min(max_lag, n - 1)
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    # Autocovariance by FFT (static shapes; a lag loop would need dynamic
+    # slices, which don't trace).
+    f = jnp.fft.rfft(xc, n=2 * n, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=2 * n, axis=1)[:, : max_lag + 1] / n
+    rhos = jnp.mean(acov[:, 1:] / jnp.maximum(acov[:, :1], 1e-30), axis=0)
+    # Geyer: sum consecutive pairs; truncate at the first negative pair-sum.
+    n_pairs = max_lag // 2
+    pair = rhos[: 2 * n_pairs].reshape(n_pairs, 2).sum(axis=1)
+    keep = jnp.cumprod(pair > 0)  # 1 until the first negative pair, then 0
+    tau = 1.0 + 2.0 * jnp.sum(pair * keep)
+    return m * n / jnp.maximum(tau, 1.0)

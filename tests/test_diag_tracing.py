@@ -75,3 +75,56 @@ def test_trace_run_interpreter_mode():
     assert float(posterior.a) == pytest.approx(11.0)
     text = repr(sweep)
     assert "MessageToVariable" in text and "phase" in text
+
+
+def test_rhat_mixed_vs_stuck_chains():
+    import jax
+    from cortex_tpu.diag import rhat
+
+    rng = np.random.default_rng(0)
+    mixed = jnp.asarray(rng.normal(size=(4, 500)))
+    r = float(rhat(mixed))
+    assert 0.99 < r < 1.02, r
+    # Chains centered at different values: R-hat must flag it.
+    stuck = mixed + jnp.arange(4.0)[:, None]
+    assert float(rhat(stuck)) > 1.5
+    # Vector quantities broadcast.
+    vec = jnp.asarray(rng.normal(size=(4, 300, 3)))
+    assert rhat(vec).shape == (3,)
+
+
+def test_ess_iid_and_ar1():
+    from cortex_tpu.diag import ess
+
+    rng = np.random.default_rng(1)
+    m, n = 4, 2000
+    iid = jnp.asarray(rng.normal(size=(m, n)))
+    e = float(ess(iid))
+    assert 0.7 * m * n < e <= 1.3 * m * n, e
+
+    phi = 0.9
+    z = np.zeros((m, n))
+    eps = rng.normal(size=(m, n))
+    for t in range(1, n):
+        z[:, t] = phi * z[:, t - 1] + eps[:, t]
+    expected = m * n * (1 - phi) / (1 + phi)
+    e_ar = float(ess(jnp.asarray(z)))
+    assert 0.5 * expected < e_ar < 2.0 * expected, (e_ar, expected)
+    assert e_ar < 0.2 * m * n  # strongly autocorrelated ⇒ far below M·N
+
+
+def test_ess_rhat_on_hmc_output():
+    import jax
+    from cortex_tpu.diag import ess, rhat
+    from cortex_tpu.ops import hmc_sample
+
+    def logp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    res = jax.vmap(
+        lambda k: hmc_sample(k, logp, jnp.zeros(2), n_samples=300, n_warmup=200)
+    )(keys)
+    draws0 = res.samples[..., 0]  # (4, 300)
+    assert float(rhat(draws0)) < 1.05
+    assert float(ess(draws0)) > 200.0
