@@ -5,6 +5,7 @@ from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from . import fit
 from .fit import LGSSMParams, fit_hgf_ml, fit_lgssm_em, fit_lgssm_ml
 from .gmm import GMM, GMMPosterior, GMMResult
+from .gp import GP, GPPosterior, fit_gp_ml
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
@@ -46,4 +47,7 @@ __all__ = [
     "SLDSBeliefs",
     "rbpf_filter",
     "RBPFResult",
+    "GP",
+    "GPPosterior",
+    "fit_gp_ml",
 ]
