@@ -43,9 +43,15 @@ class MvLGSSM:
     def dim(self) -> int:
         return len(self.A)
 
-    def smooth(self, y: jax.Array) -> MvChainMarginals:
-        """Posterior marginals; ``y``: ``(..., T, m)``."""
-        return mv_lgssm_smooth(
+    def smooth(self, y: jax.Array, method: str = "assoc") -> MvChainMarginals:
+        """Posterior marginals; ``y``: ``(..., T, m)``.
+
+        ``method="assoc"`` (default): time-parallel associative scan (the
+        fast path).  ``method="sqrt"``: sequential QR-factored square-root
+        smoother (:func:`cortex_tpu.ops.sqrt_kalman.sqrt_lgssm_smooth`) — the
+        numerically robust path for ill-conditioned chains in f32/bf16.
+        """
+        args = (
             y,
             jnp.asarray(self.A),
             jnp.asarray(self.Q),
@@ -53,6 +59,13 @@ class MvLGSSM:
             jnp.asarray(self.R),
             (jnp.asarray(self.m0), jnp.asarray(self.P0)),
         )
+        if method == "assoc":
+            return mv_lgssm_smooth(*args)
+        if method == "sqrt":
+            from ..ops.sqrt_kalman import sqrt_lgssm_smooth
+
+            return sqrt_lgssm_smooth(*args)
+        raise ValueError(f"unknown method {method!r}; expected 'assoc' or 'sqrt'")
 
     def sample(
         self, key: jax.Array, T: int, batch_shape: Tuple[int, ...] = ()
