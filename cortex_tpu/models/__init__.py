@@ -13,6 +13,7 @@ from .mv_lgssm import MvLGSSM
 from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
 from .rbpf import RBPFResult, rbpf_filter
+from .sgp import SGPR, SGPRPosterior, fit_sgpr_ml
 from .slds import SLDS, SLDSBeliefs
 
 __all__ = [
@@ -50,4 +51,7 @@ __all__ = [
     "GP",
     "GPPosterior",
     "fit_gp_ml",
+    "SGPR",
+    "SGPRPosterior",
+    "fit_sgpr_ml",
 ]
