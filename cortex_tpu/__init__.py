@@ -15,7 +15,9 @@ TPU hardware (JAX/XLA/Pallas/pjit):
   GMM, HGF),
 - :mod:`cortex_tpu.parallel` — device-mesh sharding, collectives, streaming,
 - :mod:`cortex_tpu.viz` — dependency-graph rendering (DOT),
-- :mod:`cortex_tpu.checkpoint` — posterior-state save/restore.
+- :mod:`cortex_tpu.checkpoint` — posterior-state save/restore,
+- :mod:`cortex_tpu.serve` — AOT compilation, portable executables, bucketed
+  batch serving.
 """
 
 __version__ = "0.1.0"
@@ -34,6 +36,7 @@ _SUBMODULES = (
     "models",
     "ops",
     "parallel",
+    "serve",
     "utils",
     "viz",
     "native",

@@ -35,6 +35,7 @@ MODULES = [
     "cortex_tpu.ops.ep",
     "cortex_tpu.ops.gabp",
     "cortex_tpu.ops.hmc",
+    "cortex_tpu.ops.sqrt_kalman",
     "cortex_tpu.models",
     "cortex_tpu.parallel",
     "cortex_tpu.utils",
@@ -42,6 +43,7 @@ MODULES = [
     "cortex_tpu.checkpoint",
     "cortex_tpu.diag",
     "cortex_tpu.native",
+    "cortex_tpu.serve",
 ]
 
 
@@ -80,5 +82,6 @@ def test_no_unexpected_top_level_modules():
         "checkpoint",
         "diag",
         "native",
+        "serve",
     }
     assert found == expected, f"Unexpected/missing submodules: {found ^ expected}"
