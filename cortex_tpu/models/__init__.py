@@ -1,5 +1,7 @@
 """Model zoo: the reference's example families, TPU-first."""
 
+from .ar import ARPosterior, BayesianAR, companion_matrix, latent_ar_smooth
+from .ep_classifier import EPClassifier, EPClassifierPosterior
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from . import fit
@@ -54,4 +56,10 @@ __all__ = [
     "SGPR",
     "SGPRPosterior",
     "fit_sgpr_ml",
+    "BayesianAR",
+    "ARPosterior",
+    "companion_matrix",
+    "latent_ar_smooth",
+    "EPClassifier",
+    "EPClassifierPosterior",
 ]
