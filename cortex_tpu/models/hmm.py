@@ -117,7 +117,10 @@ class HMM:
         """Variational EM with Dirichlet posteriors over the transition rows
         and the categorical emission rows.
 
-        ``obs``: integer observations ``(..., T)`` in ``[0, n_symbols)``;
+        ``obs``: integer observations ``(..., T)`` in ``[0, n_symbols)``.
+        Missing steps are encoded as ``-1``: the one-hot row is all-zero, so
+        the step contributes a uniform (zero log-) likelihood to the E-step
+        and nothing to the emission counts — the exact marginalization;
         leading axes are independent replicas, each with its own posterior.
         Runs as a ``lax.scan`` over iterations — one jittable program.
 

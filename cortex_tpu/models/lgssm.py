@@ -57,7 +57,13 @@ class LGSSM:
         prior: Optional[Tuple[jax.Array, jax.Array]] = None,
         method: str = "scan",
     ) -> ChainMarginals:
-        """Posterior marginals of all states given all observations."""
+        """Posterior marginals of all states given all observations.
+
+        NaN entries in ``y`` are missing observations: they contribute no
+        information (the smoother predicts through the gap).  A missing
+        ``y[0]`` needs an explicit ``prior``.  (The Pallas fast path
+        ``ops.lgssm_smooth_pallas`` requires dense data.)
+        """
         if method == "scan":
             return lgssm_smooth_scan(y, self.A, self.Q, self.H, self.R, prior)
         if method == "assoc":
@@ -70,13 +76,18 @@ class LGSSM:
         prior: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> ChainMarginals:
         """Filtered beliefs p(x_t | y_{1:t}) via a forward scan (streaming
-        posterior; the carry is the state you checkpoint and resume from)."""
+        posterior; the carry is the state you checkpoint and resume from).
+        NaN observations carry zero information (pure prediction step)."""
         y = jnp.asarray(y)
+        observed = ~jnp.isnan(y)
+        y = jnp.where(observed, y, 0.0)
         yT = jnp.moveaxis(y, -1, 0)
+        obsT = jnp.moveaxis(observed, -1, 0)
         A, Q, H, R = self.A, self.Q, self.H, self.R
 
-        xi_obs = H * yT / R
-        w_obs = jnp.broadcast_to(jnp.asarray(H * H / R, y.dtype), yT.shape)
+        xi_obs = jnp.where(obsT, H * yT / R, 0.0)
+        w_obs = jnp.where(obsT, jnp.asarray(H * H / R, y.dtype), 0.0)
+        w_obs = jnp.broadcast_to(w_obs, yT.shape)
 
         if prior is not None:
             pm, pv = prior
@@ -88,12 +99,10 @@ class LGSSM:
         def step(carry, obs):
             xi_f, w_f = carry
             xi_o, w_o = obs
-            m = xi_f / w_f
-            v = 1.0 / w_f
-            v_pred = A * A * v + Q
-            xi_pred = (A * m) / v_pred
-            w_pred = 1.0 / v_pred
-            new = (xi_pred + xi_o, w_pred + w_o)
+            # Division-safe rational projection (valid at w_f = 0, which a
+            # missing-observation run produces):
+            denom = A * A + Q * w_f
+            new = (A * xi_f / denom + xi_o, w_f / denom + w_o)
             return new, new
 
         _, (xi_fs, w_fs) = jax.lax.scan(step, (xi0, w0), (xi_obs[1:], w_obs[1:]))
@@ -109,19 +118,27 @@ class LGSSM:
         prior: Tuple[jax.Array, jax.Array] = (0.0, 1.0),
     ) -> jax.Array:
         """log p(y_{1:T}) via the prediction-error decomposition, shape
-        ``y.shape[:-1]`` (one value per replica)."""
+        ``y.shape[:-1]`` (one value per replica).  NaN observations are
+        marginalized out: they contribute zero log-likelihood and skip the
+        measurement update."""
         y = jnp.asarray(y)
+        observed = ~jnp.isnan(y)
+        y = jnp.where(observed, y, 0.0)
         yT = jnp.moveaxis(y, -1, 0)
+        obsT = jnp.moveaxis(observed, -1, 0)
         A, Q, H, R = self.A, self.Q, self.H, self.R
         pm = jnp.broadcast_to(jnp.asarray(prior[0], y.dtype), yT.shape[1:])
         pv = jnp.broadcast_to(jnp.asarray(prior[1], y.dtype), yT.shape[1:])
 
-        def step(carry, obs):
+        def step(carry, inp):
+            obs, mask = inp
             m, v = carry
-            m_f, v_f, ll = scalar_kalman_update(obs, m, v, H, R)
-            return (A * m_f, A * A * v_f + Q), ll
+            m_u, v_u, ll = scalar_kalman_update(obs, m, v, H, R)
+            m_f = jnp.where(mask, m_u, m)
+            v_f = jnp.where(mask, v_u, v)
+            return (A * m_f, A * A * v_f + Q), jnp.where(mask, ll, 0.0)
 
-        _, lls = jax.lax.scan(step, (pm, pv), yT)
+        _, lls = jax.lax.scan(step, (pm, pv), (yT, obsT))
         return jnp.sum(lls, axis=0)
 
     def sample(

@@ -13,7 +13,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.chains_mv import MvChainMarginals, mv_lgssm_smooth
+from ..ops.chains_mv import (
+    MvChainMarginals,
+    mv_lgssm_filter,
+    mv_lgssm_log_evidence,
+    mv_lgssm_smooth,
+)
 
 __all__ = ["MvLGSSM"]
 
@@ -66,6 +71,27 @@ class MvLGSSM:
 
             return sqrt_lgssm_smooth(*args)
         raise ValueError(f"unknown method {method!r}; expected 'assoc' or 'sqrt'")
+
+    def _args(self, y):
+        return (
+            y,
+            jnp.asarray(self.A),
+            jnp.asarray(self.Q),
+            jnp.asarray(self.H),
+            jnp.asarray(self.R),
+            (jnp.asarray(self.m0), jnp.asarray(self.P0)),
+        )
+
+    def filter(self, y: jax.Array) -> MvChainMarginals:
+        """Filtered beliefs p(x_t | y_{1:t}); ``y``: ``(..., T, m)``.  NaN
+        steps predict through the gap (streaming posterior)."""
+        return mv_lgssm_filter(*self._args(y))
+
+    def log_evidence(self, y: jax.Array) -> jax.Array:
+        """log p(y_{1:T}) per replica via the prediction-error decomposition;
+        differentiable in the parameters (close over arrays directly for ML
+        system identification).  NaN steps are marginalized analytically."""
+        return mv_lgssm_log_evidence(*self._args(y))
 
     def sample(
         self, key: jax.Array, T: int, batch_shape: Tuple[int, ...] = ()

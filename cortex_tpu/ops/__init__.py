@@ -7,7 +7,12 @@ from .chains import (
     lgssm_smooth_scan,
     scalar_kalman_update,
 )
-from .chains_mv import MvChainMarginals, mv_lgssm_smooth
+from .chains_mv import (
+    MvChainMarginals,
+    mv_lgssm_filter,
+    mv_lgssm_log_evidence,
+    mv_lgssm_smooth,
+)
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
 from .ep import EPResult, ep_linear_model, gauss_hermite_tilted, probit_tilted_moments
 from .gabp import GaBPResult, gabp_grid_solve, gabp_solve, grid_edges
@@ -25,6 +30,8 @@ __all__ = [
     "scalar_kalman_update",
     "MvChainMarginals",
     "mv_lgssm_smooth",
+    "mv_lgssm_filter",
+    "mv_lgssm_log_evidence",
     "HMMPosterior",
     "hmm_forward_backward",
     "hmm_viterbi",

@@ -69,10 +69,17 @@ class ChainMarginals(NamedTuple):
 
 
 def _obs_message(y, H, R):
-    """Information-form observation message into x_t: xi = H y / R, w = H²/R."""
-    xi = H * y / R
-    w = jnp.broadcast_to(jnp.asarray((H * H) / R, xi.dtype), xi.shape)
-    return xi, w
+    """Information-form observation message into x_t: xi = H y / R, w = H²/R.
+
+    Missing observations (NaN) carry zero information: xi = w = 0, which the
+    division-safe message projections below propagate exactly (a missing
+    step is pure prediction) — no imputation, no variance inflation hacks.
+    """
+    observed = ~jnp.isnan(y)
+    y = jnp.where(observed, y, 0.0)
+    xi = jnp.where(observed, H * y / R, 0.0)
+    w = jnp.where(observed, jnp.asarray((H * H) / R, xi.dtype), 0.0)
+    return xi, jnp.broadcast_to(w, xi.shape)
 
 
 def lgssm_smooth_scan(
@@ -117,13 +124,13 @@ def lgssm_smooth_scan(
     def fwd_step(carry, obs):
         xi_f, w_f = carry  # filtered belief of x_{t-1}
         xi_o, w_o = obs  # obs message of x_t
-        # Project through transition x_t = A x_{t-1} + N(0,Q):
-        # mean -> A·m, var -> A²·v + Q  (in info form).
-        m = xi_f / w_f
-        v = 1.0 / w_f
-        v_msg = A * A * v + Q
-        xi_msg = (A * m) / v_msg
-        w_msg = 1.0 / v_msg
+        # Project through transition x_t = A x_{t-1} + N(0,Q), in the
+        # division-safe rational form (valid at w_f = 0, the zero-information
+        # belief a run of missing observations produces):
+        #   w_msg = w / (A² + Q w),  xi_msg = A xi / (A² + Q w).
+        denom = A * A + Q * w_f
+        xi_msg = A * xi_f / denom
+        w_msg = w_f / denom
         new_xi = xi_msg + xi_o
         new_w = w_msg + w_o
         return (new_xi, new_w), (xi_msg, w_msg)
@@ -141,13 +148,12 @@ def lgssm_smooth_scan(
     def bwd_step(carry, obs):
         xi_b, w_b = carry
         xi_o, w_o = obs
-        # Project back through the transition: x_{t-1} = (x_t - noise)/A:
-        # mean -> m/A, var -> (v + Q)/A².
-        m = xi_b / w_b
-        v = 1.0 / w_b
-        v_msg = (v + Q) / (A * A)
-        xi_msg = (m / A) / v_msg
-        w_msg = 1.0 / v_msg
+        # Project back through the transition x_{t-1} = (x_t - noise)/A, in
+        # the division-safe rational form (valid at w_b = 0):
+        #   w_msg = A² w / (1 + Q w),  xi_msg = A xi / (1 + Q w).
+        denom = 1.0 + Q * w_b
+        xi_msg = A * xi_b / denom
+        w_msg = A * A * w_b / denom
         new_xi = xi_msg + xi_o
         new_w = w_msg + w_o
         return (new_xi, new_w), (xi_msg, w_msg)
@@ -245,6 +251,9 @@ def lgssm_smooth_assoc(
     forward/backward sweep ordering (``src/inference_engine.jl:575-607``).
     """
     y = jnp.asarray(y)
+    observed = ~jnp.isnan(y)
+    y = jnp.where(observed, y, 0.0)
+    obsT = jnp.moveaxis(observed, -1, 0)
     yT = jnp.moveaxis(y, -1, 0)  # (T, ...)
     batch_shape = yT.shape[1:]
 
@@ -258,10 +267,12 @@ def lgssm_smooth_assoc(
         m0 = yT[0] / H
         P0 = jnp.broadcast_to(jnp.asarray(R, y.dtype) / (H * H), batch_shape)
 
-    # First filtering element: filtered belief of x_1.
+    # First filtering element: filtered belief of x_1.  A missing first
+    # observation falls back to the prior alone (a prior is required for a
+    # missing y[0]; the no-prior convention needs y[0] observed).
     if prior is not None:
         S1 = H * P0 * H + R
-        K1 = P0 * H / S1
+        K1 = jnp.where(obsT[0], P0 * H / S1, 0.0)
         b1 = m0 + K1 * (yT[0] - H * m0)
         C1 = P0 - K1 * H * P0
     else:
@@ -269,15 +280,20 @@ def lgssm_smooth_assoc(
     zeros = jnp.zeros_like(b1)
     elem1 = _FilterElem(zeros, b1, C1, zeros, zeros)
 
-    # Generic elements for t >= 2.
+    # Generic elements for t >= 2; a missing step's element is the pure
+    # prediction (A, 0, Q, 0, 0).
     yrest = yT[1:]
+    orest = obsT[1:]
     S = H * Q * H + R
     K = Q * H / S
-    A_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * A, y.dtype), yrest.shape)
-    b_e = K * yrest
-    C_e = jnp.broadcast_to(jnp.asarray((1.0 - K * H) * Q, y.dtype), yrest.shape)
-    eta_e = A * H * yrest / S
-    J_e = jnp.broadcast_to(jnp.asarray(A * H * H * A / S, y.dtype), yrest.shape)
+    A_e = jnp.where(orest, jnp.asarray((1.0 - K * H) * A, y.dtype), A)
+    b_e = jnp.where(orest, K * yrest, 0.0)
+    C_e = jnp.where(orest, jnp.asarray((1.0 - K * H) * Q, y.dtype), Q)
+    eta_e = jnp.where(orest, A * H * yrest / S, 0.0)
+    J_e = jnp.where(orest, jnp.asarray(A * H * H * A / S, y.dtype), 0.0)
+    A_e = jnp.broadcast_to(A_e, yrest.shape)
+    C_e = jnp.broadcast_to(C_e, yrest.shape)
+    J_e = jnp.broadcast_to(J_e, yrest.shape)
 
     elems = _FilterElem(
         jnp.concatenate([elem1.A[None], A_e], axis=0),

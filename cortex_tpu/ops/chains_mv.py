@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["MvChainMarginals", "mv_lgssm_smooth"]
+__all__ = ["MvChainMarginals", "mv_lgssm_filter", "mv_lgssm_log_evidence", "mv_lgssm_smooth"]
 
 
 class MvChainMarginals(NamedTuple):
@@ -95,6 +95,13 @@ def mv_lgssm_smooth(
     m0, P0 = map(jnp.asarray, prior)
     d = A.shape[-1]
     T = y.shape[-2]
+    # Missing observations: a time step whose vector contains any NaN is
+    # treated as fully unobserved (its filtering element degenerates to the
+    # pure prediction (A, 0, Q, 0, 0)).  Partial (per-component) missingness
+    # is not supported on this path.
+    observed = ~jnp.any(jnp.isnan(y), axis=-1)  # (..., T)
+    y = jnp.where(observed[..., None], y, 0.0)
+    obsT = jnp.moveaxis(observed, -1, 0)  # (T, ...)
     yT = jnp.moveaxis(y, -2, 0)  # (T, ..., m)
     batch = yT.shape[1:-1]
     I = jnp.eye(d, dtype=y.dtype)
@@ -116,22 +123,29 @@ def mv_lgssm_smooth(
         return jnp.broadcast_to(mat, leading + mat.shape)
 
     n_rest = (T - 1,) + batch
+    mrest = obsT[1:][..., None, None]  # (T-1, ..., 1, 1)
     elems_rest = _Elem(
-        bcast(A_g, n_rest),
-        b_g,
-        bcast(C_g, n_rest),
-        eta_g,
-        bcast(J_g, n_rest),
+        jnp.where(mrest, bcast(A_g, n_rest), jnp.broadcast_to(A, n_rest + A.shape)),
+        jnp.where(mrest[..., 0], b_g, 0.0),
+        jnp.where(mrest, bcast(C_g, n_rest), jnp.broadcast_to(Q, n_rest + Q.shape)),
+        jnp.where(mrest[..., 0], eta_g, 0.0),
+        jnp.where(mrest, bcast(J_g, n_rest), 0.0),
     )
 
-    # First element: filtered belief of x_1 under the prior.
+    # First element: filtered belief of x_1 under the prior (prior alone if
+    # the first observation is missing).
     S1 = H @ P0 @ _mT(H) + R
     K1 = _mT(jnp.linalg.solve(_mT(S1), H @ _mT(P0)))  # P0 Hᵀ S1⁻¹
-    b1 = m0 + jnp.einsum("dm,...m->...d", K1, yT[0] - H @ m0)
-    C1 = (I - K1 @ H) @ P0
+    m1 = obsT[0][..., None, None]
+    b1 = m0 + jnp.where(
+        m1[..., 0], jnp.einsum("dm,...m->...d", K1, yT[0] - H @ m0), 0.0
+    )
+    C1 = jnp.where(m1, (I - K1 @ H) @ P0, P0)
     zeros_d = jnp.zeros(batch + (d,), y.dtype)
     zeros_dd = jnp.zeros(batch + (d, d), y.dtype)
-    elem1 = _Elem(zeros_dd, b1, bcast(C1, batch), zeros_d, zeros_dd)
+    elem1 = _Elem(
+        zeros_dd, jnp.broadcast_to(b1, batch + (d,)), jnp.broadcast_to(C1, batch + (d, d)), zeros_d, zeros_dd
+    )
 
     elems = jax.tree_util.tree_map(
         lambda a, rest: jnp.concatenate([a[None], rest], axis=0), elem1, elems_rest
@@ -154,3 +168,96 @@ def mv_lgssm_smooth(
     return MvChainMarginals(
         jnp.moveaxis(smoothed.g, 0, -2), jnp.moveaxis(smoothed.L, 0, -3)
     )
+
+
+def _mv_filter_scan(y, A, Q, H, R, prior):
+    """Shared sequential filter: returns (means, covs, loglik-per-step).
+
+    Sequential `lax.scan` (the associative path above serves smoothing; the
+    evidence needs the per-step innovation terms anyway).  NaN steps (any
+    component) skip the update and contribute zero log-likelihood.
+    """
+    y = jnp.asarray(y)
+    A, Q, H, R = map(lambda a: jnp.asarray(a, y.dtype), (A, Q, H, R))
+    m0 = jnp.asarray(prior[0], y.dtype)
+    P0 = jnp.asarray(prior[1], y.dtype)
+    d = A.shape[-1]
+    mdim = H.shape[-2]
+    observed = ~jnp.any(jnp.isnan(y), axis=-1)
+    y = jnp.where(observed[..., None], y, 0.0)
+    yT = jnp.moveaxis(y, -2, 0)
+    obsT = jnp.moveaxis(observed, -1, 0)
+    batch = yT.shape[1:-1]
+
+    def update(mean, P, obs, mask):
+        S = H @ P @ _mT(H) + R  # (..., m, m)
+        Ls = jnp.linalg.cholesky(S)
+        innov = obs - jnp.einsum("md,...d->...m", H, mean)
+        u = jax.scipy.linalg.solve_triangular(Ls, innov[..., None], lower=True)[..., 0]
+        ll = (
+            -0.5 * jnp.sum(u * u, axis=-1)
+            - jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
+            - 0.5 * mdim * jnp.log(2.0 * jnp.pi)
+        )
+        PHt = P @ jnp.broadcast_to(_mT(H), P.shape[:-2] + (d, mdim))
+        # K = P Hᵀ S⁻¹ via two triangular solves.
+        t1 = jax.scipy.linalg.solve_triangular(Ls, _mT(PHt), lower=True)
+        K = _mT(jax.scipy.linalg.solve_triangular(_mT(Ls), t1, lower=False))
+        mean_u = mean + jnp.einsum("...dm,...m->...d", K, innov)
+        P_u = P - K @ S @ _mT(K)
+        keep = mask[..., None]
+        keep2 = mask[..., None, None]
+        return (
+            jnp.where(keep, mean_u, mean),
+            jnp.where(keep2, P_u, P),
+            jnp.where(mask, ll, 0.0),
+        )
+
+    mean0 = jnp.broadcast_to(m0, batch + (d,))
+    Pp0 = jnp.broadcast_to(P0, batch + (d, d))
+    mean1, P1, ll1 = update(mean0, Pp0, yT[0], obsT[0])
+
+    def step(carry, inp):
+        obs, mask = inp
+        mean, P = carry
+        mp = jnp.einsum("ij,...j->...i", A, mean)
+        Pp = A @ P @ _mT(A) + Q
+        mf, Pf, ll = update(mp, Pp, obs, mask)
+        return (mf, Pf), (mf, Pf, ll)
+
+    _, (means, covs, lls) = lax.scan(step, (mean1, P1), (yT[1:], obsT[1:]))
+    means = jnp.concatenate([mean1[None], means], axis=0)
+    covs = jnp.concatenate([P1[None], covs], axis=0)
+    lls = jnp.concatenate([ll1[None], lls], axis=0)
+    return means, covs, lls
+
+
+def mv_lgssm_filter(
+    y: jax.Array,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior: Tuple[jax.Array, jax.Array],
+) -> MvChainMarginals:
+    """Filtered beliefs p(x_t | y_{1:t}) for the vector-state LGSSM
+    (streaming posterior).  Same parameter contract as
+    :func:`mv_lgssm_smooth`; NaN steps predict through the gap."""
+    means, covs, _ = _mv_filter_scan(y, A, Q, H, R, prior)
+    return MvChainMarginals(jnp.moveaxis(means, 0, -2), jnp.moveaxis(covs, 0, -3))
+
+
+def mv_lgssm_log_evidence(
+    y: jax.Array,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior: Tuple[jax.Array, jax.Array],
+) -> jax.Array:
+    """log p(y_{1:T}) via the prediction-error decomposition, shape
+    ``y.shape[:-2]`` (one value per replica).  Differentiable in all
+    parameters — the ML system-identification hook for vector models.  NaN
+    steps are marginalized analytically."""
+    _, _, lls = _mv_filter_scan(y, A, Q, H, R, prior)
+    return jnp.sum(lls, axis=0)

@@ -73,8 +73,13 @@ def _prepare(y, A, Q, H, R, prior):
     Lq = jnp.linalg.cholesky(Q)
     Lr = jnp.linalg.cholesky(R)
     L0 = jnp.linalg.cholesky(P0)
+    # Missing steps (any NaN in the observation vector) skip the measurement
+    # update — same full-vector-missingness convention as `chains_mv`.
+    observed = ~jnp.any(jnp.isnan(y), axis=-1)  # (..., T)
+    y = jnp.where(observed[..., None], y, 0.0)
+    obsT = jnp.moveaxis(observed, -1, 0)  # (T, ...)
     yT = jnp.moveaxis(y, -2, 0)  # (T, ..., m)
-    return yT, A, H, Lq, Lr, m0, L0
+    return yT, obsT, A, H, Lq, Lr, m0, L0
 
 
 def sqrt_lgssm_filter(
@@ -92,12 +97,12 @@ def sqrt_lgssm_filter(
     ``R`` is ``(m, m)``, ``prior = (m0, P0)``.  Never forms a full covariance:
     predict and update are each one QR of a stacked pre-array.
     """
-    yT, A, H, Lq, Lr, m0, L0 = _prepare(y, A, Q, H, R, prior)
+    yT, obsT, A, H, Lq, Lr, m0, L0 = _prepare(y, A, Q, H, R, prior)
     batch = yT.shape[1:-1]
     d = A.shape[-1]
     m = H.shape[-2]
 
-    def measurement(mean, S, obs):
+    def measurement(mean, S, obs, mask):
         # Pre-array Gram = [[S_y S_yᵀ, ...], [..., P_filt + K S_y ...]]:
         #   U = [[Lrᵀ, 0], [Sᵀ Hᵀ, Sᵀ]]  ⇒  UᵀU = [[R + H P Hᵀ, H P], [P Hᵀ, P]]
         top = jnp.concatenate(
@@ -114,7 +119,12 @@ def sqrt_lgssm_filter(
         # K (y − H m) = Kbar Sy⁻¹ innov
         u = jax.scipy.linalg.solve_triangular(Sy, innov[..., None], lower=True)
         mean_f = mean + (Kbar @ u)[..., 0]
-        return mean_f, S_f
+        keep = jnp.broadcast_to(mask[..., None], mean.shape)
+        keep2 = jnp.broadcast_to(mask[..., None, None], S_f.shape)
+        return (
+            jnp.where(keep, mean_f, mean),
+            jnp.where(keep2, S_f, jnp.broadcast_to(S, S_f.shape)),
+        )
 
     def predict(mean, S):
         stacked = jnp.concatenate(
@@ -128,15 +138,17 @@ def sqrt_lgssm_filter(
         jnp.broadcast_to(m0, batch + (d,)),
         jnp.broadcast_to(L0, batch + (d, d)),
         yT[0],
+        obsT[0],
     )
 
-    def step(carry, obs):
+    def step(carry, inp):
+        obs, mask = inp
         mean, S = carry
         mp, Sp = predict(mean, S)
-        mf, Sf = measurement(mp, Sp, obs)
+        mf, Sf = measurement(mp, Sp, obs, mask)
         return (mf, Sf), (mf, Sf)
 
-    _, (means, chols) = lax.scan(step, (mean1, S1), yT[1:])
+    _, (means, chols) = lax.scan(step, (mean1, S1), (yT[1:], obsT[1:]))
     means = jnp.concatenate([mean1[None], means], axis=0)
     chols = jnp.concatenate([S1[None], chols], axis=0)
     return SqrtFilterBeliefs(jnp.moveaxis(means, 0, -2), jnp.moveaxis(chols, 0, -3))
@@ -161,7 +173,7 @@ def sqrt_lgssm_smooth(
     :func:`cortex_tpu.ops.chains_mv.mv_lgssm_smooth`).
     """
     beliefs = sqrt_lgssm_filter(y, A, Q, H, R, prior)
-    yT, A, H, Lq, Lr, m0, L0 = _prepare(y, A, Q, H, R, prior)
+    yT, _, A, H, Lq, Lr, m0, L0 = _prepare(y, A, Q, H, R, prior)
     d = A.shape[-1]
     fm = jnp.moveaxis(beliefs.mean, -2, 0)  # (T, ..., d)
     fS = jnp.moveaxis(beliefs.chol, -3, 0)  # (T, ..., d, d)
