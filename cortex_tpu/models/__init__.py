@@ -2,6 +2,13 @@
 
 from .ar import ARPosterior, BayesianAR, companion_matrix, latent_ar_smooth
 from .ep_classifier import EPClassifier, EPClassifierPosterior
+from .glm import (
+    BayesianLinearRegression,
+    NIGPosterior,
+    PoissonPosterior,
+    PoissonRegression,
+    nig_fit,
+)
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from . import fit
@@ -62,4 +69,9 @@ __all__ = [
     "latent_ar_smooth",
     "EPClassifier",
     "EPClassifierPosterior",
+    "BayesianLinearRegression",
+    "NIGPosterior",
+    "nig_fit",
+    "PoissonRegression",
+    "PoissonPosterior",
 ]

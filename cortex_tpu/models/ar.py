@@ -27,8 +27,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.chains_mv import MvChainMarginals, mv_lgssm_smooth
+from .glm import NIGPosterior, nig_fit
 
 __all__ = ["ARPosterior", "BayesianAR", "companion_matrix", "latent_ar_smooth"]
+
+#: The AR posterior *is* the shared Normal–Inverse-Gamma posterior on the
+#: lag design (`cortex_tpu.models.glm.nig_fit`).
+ARPosterior = NIGPosterior
 
 
 def companion_matrix(coeffs: jax.Array) -> jax.Array:
@@ -49,28 +54,6 @@ def _lag_matrix(y: jax.Array, p: int) -> Tuple[jax.Array, jax.Array]:
     return X, y[..., p:]
 
 
-class ARPosterior(NamedTuple):
-    """Exact NIG posterior: ``w | σ² ~ N(mean, σ² cov_scale)``,
-    ``σ² ~ InvGamma(a, b)``; ``log_evidence`` is the marginal likelihood of
-    the regressed targets (multivariate-t)."""
-
-    mean: jax.Array  # (..., p)
-    cov_scale: jax.Array  # (..., p, p)  — V_n (multiply by σ² for cov)
-    a: jax.Array  # (...,)
-    b: jax.Array  # (...,)
-    log_evidence: jax.Array  # (...,)
-
-    @property
-    def noise_mean(self) -> jax.Array:
-        """Posterior mean of σ² (requires a > 1)."""
-        return self.b / (self.a - 1.0)
-
-    @property
-    def coeff_cov(self) -> jax.Array:
-        """Marginal coefficient covariance E[σ²]·V_n (a > 1)."""
-        return self.noise_mean[..., None, None] * self.cov_scale
-
-
 @dataclasses.dataclass(frozen=True)
 class BayesianAR:
     """Conjugate Bayesian AR(p): ``y_t ~ N(Σ_k w_k y_{t-k}, σ²)`` with the
@@ -84,32 +67,11 @@ class BayesianAR:
 
     def fit(self, y: jax.Array) -> ARPosterior:
         """Exact posterior from a ``(..., T)`` series (leading axes = replica
-        series, each fit independently in one batched solve)."""
+        series, each fit independently in one batched solve).  Delegates to
+        the shared NIG algebra on the lag design."""
         y = jnp.asarray(y)
         X, t = _lag_matrix(y, self.p)
-        n = t.shape[-1]
-        Xt = jnp.swapaxes(X, -1, -2)
-        V0_inv = jnp.eye(self.p, dtype=y.dtype) / self.prior_scale
-        prec = V0_inv + Xt @ X
-        Vn = jnp.linalg.inv(prec)
-        mn = jnp.einsum("...ij,...j->...i", Vn, jnp.einsum("...ij,...j->...i", Xt, t))
-        a_n = self.a0 + 0.5 * n
-        quad = jnp.einsum("...i,...i->...", t, t) - jnp.einsum(
-            "...i,...ij,...j->...", mn, prec, mn
-        )
-        b_n = self.b0 + 0.5 * quad
-        # log p(t) of the NIG marginal (multivariate t): standard closed form.
-        sign0, logdet_prec = jnp.linalg.slogdet(prec)
-        logdet_V0_inv = -self.p * jnp.log(self.prior_scale)
-        log_ev = (
-            -0.5 * n * jnp.log(2.0 * jnp.pi)
-            + 0.5 * (logdet_V0_inv - logdet_prec)
-            + self.a0 * jnp.log(self.b0)
-            - a_n * jnp.log(b_n)
-            + jax.scipy.special.gammaln(a_n)
-            - jax.scipy.special.gammaln(self.a0)
-        )
-        return ARPosterior(mn, Vn, jnp.broadcast_to(a_n, b_n.shape), b_n, log_ev)
+        return nig_fit(X, t, self.prior_scale, self.a0, self.b0)
 
     def predict(
         self, y: jax.Array, posterior: Optional[ARPosterior] = None, horizon: int = 1
