@@ -14,6 +14,7 @@ from .chains_mv import (
     mv_lgssm_smooth,
 )
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
+from .cvi import CVIResult, cvi_linear_model
 from .ep import EPResult, ep_linear_model, gauss_hermite_tilted, probit_tilted_moments
 from .gabp import GaBPResult, gabp_grid_solve, gabp_solve, grid_edges
 from .hmc import HMCResult, hmc_sample
@@ -43,6 +44,8 @@ __all__ = [
     "HMCResult",
     "hmc_sample",
     "grid_edges",
+    "CVIResult",
+    "cvi_linear_model",
     "EPResult",
     "ep_linear_model",
     "probit_tilted_moments",

@@ -33,6 +33,7 @@ MODULES = [
     "cortex_tpu.ops.pallas_hmm",
     "cortex_tpu.ops.nonlinear",
     "cortex_tpu.ops.ep",
+    "cortex_tpu.ops.cvi",
     "cortex_tpu.ops.gabp",
     "cortex_tpu.ops.hmc",
     "cortex_tpu.ops.sqrt_kalman",
