@@ -12,7 +12,14 @@ from .glm import (
 from .hgf import HGF, HGFState, HGFTrajectory
 from .hgf_binary import BinaryHGF, BinaryHGFState, BinaryHGFTrajectory
 from . import fit
-from .fit import LGSSMParams, fit_hgf_ml, fit_lgssm_em, fit_lgssm_ml
+from .fit import (
+    LGSSMParams,
+    MvLGSSMParams,
+    fit_hgf_ml,
+    fit_lgssm_em,
+    fit_lgssm_ml,
+    fit_mv_lgssm_ml,
+)
 from .gmm import GMM, GMMPosterior, GMMResult
 from .gp import GP, GPPosterior, fit_gp_ml
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
@@ -47,6 +54,8 @@ __all__ = [
     "LGSSMParams",
     "fit_lgssm_ml",
     "fit_lgssm_em",
+    "fit_mv_lgssm_ml",
+    "MvLGSSMParams",
     "fit_hgf_ml",
     "particle_filter",
     "systematic_resample",

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 from ..ops.chains import scalar_kalman_update
 
-__all__ = ["LGSSMParams", "fit_lgssm_ml", "fit_lgssm_em", "fit_hgf_ml"]
+__all__ = [
+    "LGSSMParams",
+    "MvLGSSMParams",
+    "fit_lgssm_ml",
+    "fit_lgssm_em",
+    "fit_mv_lgssm_ml",
+    "fit_hgf_ml",
+]
 
 
 class LGSSMParams(NamedTuple):
@@ -209,3 +216,74 @@ def fit_hgf_ml(
     )
     omega, log_theta = params
     return (omega, jnp.exp(log_theta)), losses
+
+
+class MvLGSSMParams(NamedTuple):
+    """Unconstrained vector-model parameterization: ``A`` free; ``Q``/``R``
+    via Cholesky factors of their log-diagonal/free-lower parts so the noise
+    covariances stay PD throughout optimization."""
+
+    A: jax.Array  # (d, d)
+    q_chol: jax.Array  # (d, d) lower, log-diagonal
+    r_chol: jax.Array  # (m, m) lower, log-diagonal
+
+    @staticmethod
+    def _expand(chol_param: jax.Array) -> jax.Array:
+        L = jnp.tril(chol_param, k=-1) + jnp.diag(jnp.exp(jnp.diagonal(chol_param)))
+        return L @ L.T
+
+    @property
+    def Q(self) -> jax.Array:
+        return self._expand(self.q_chol)
+
+    @property
+    def R(self) -> jax.Array:
+        return self._expand(self.r_chol)
+
+
+def fit_mv_lgssm_ml(
+    y: jax.Array,
+    H: jax.Array,
+    d: int,
+    n_steps: int = 300,
+    learning_rate: float = 0.02,
+    init: "MvLGSSMParams | None" = None,
+) -> Tuple[MvLGSSMParams, jax.Array]:
+    """ML system identification for the vector LGSSM with known ``H``:
+    gradient ascent on the prediction-error log evidence
+    (:func:`cortex_tpu.ops.chains_mv.mv_lgssm_log_evidence`), batched over
+    replica series.  Returns the fitted unconstrained params and the loss
+    trace; read ``params.A/Q/R`` for the constrained matrices.
+    """
+    import optax
+
+    from ..ops.chains_mv import mv_lgssm_log_evidence
+
+    y = jnp.asarray(y)
+    H = jnp.asarray(H, y.dtype)
+    if init is None:
+        init = MvLGSSMParams(
+            A=0.5 * jnp.eye(d, dtype=y.dtype),
+            q_chol=jnp.zeros((d, d), y.dtype),
+            r_chol=jnp.zeros((H.shape[0], H.shape[0]), y.dtype),
+        )
+    prior = (jnp.zeros((d,), y.dtype), 10.0 * jnp.eye(d, dtype=y.dtype))
+
+    def nll(params: MvLGSSMParams) -> jax.Array:
+        return -jnp.mean(
+            mv_lgssm_log_evidence(y, params.A, params.Q, H, params.R, prior)
+        )
+
+    opt = optax.adam(learning_rate)
+    loss_grad = jax.value_and_grad(nll)
+
+    def step(carry, _):
+        p, s = carry
+        loss, g = loss_grad(p)
+        updates, s = opt.update(g, s)
+        return (optax.apply_updates(p, updates), s), loss
+
+    (params, _), losses = jax.lax.scan(
+        step, (init, opt.init(init)), None, length=n_steps
+    )
+    return params, losses
