@@ -22,6 +22,7 @@ from .fit import (
 )
 from .gmm import GMM, GMMPosterior, GMMResult
 from .gp import GP, GPPosterior, fit_gp_ml
+from .gpc import GPClassifier, GPCPosterior
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
@@ -83,4 +84,6 @@ __all__ = [
     "nig_fit",
     "PoissonRegression",
     "PoissonPosterior",
+    "GPClassifier",
+    "GPCPosterior",
 ]
