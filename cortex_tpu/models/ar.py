@@ -21,7 +21,7 @@ here the family is first-class with the conjugate algebra built in.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
