@@ -95,10 +95,18 @@ def load_serialized(blob: bytes) -> Callable:
 
 def enable_persistent_cache(path: str) -> None:
     """Persist XLA compilation artifacts under ``path`` so restarts (and
-    sibling processes) skip recompilation.  Safe to call more than once."""
+    sibling processes) skip recompilation.  Safe to call more than once —
+    the process-global cache singleton is reset so the new directory takes
+    effect even if a different one was active earlier in the process."""
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:  # pragma: no cover - private API moved; dir still set
+        pass
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
