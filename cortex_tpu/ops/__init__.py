@@ -20,6 +20,7 @@ from .gabp import GaBPResult, gabp_grid_solve, gabp_solve, grid_edges
 from .hmc import HMCResult, hmc_sample
 from .nonlinear import NLSSMBeliefs, ekf_filter, ekf_smooth, ukf_filter, ukf_smooth
 from .pallas_kernels import lgssm_smooth_pallas
+from .robust import RobustChainResult, robust_lgssm_smooth
 from .sqrt_kalman import SqrtFilterBeliefs, sqrt_lgssm_filter, sqrt_lgssm_smooth
 from .pallas_hmm import hmm_forward_backward_pallas
 
@@ -58,4 +59,6 @@ __all__ = [
     "SqrtFilterBeliefs",
     "sqrt_lgssm_filter",
     "sqrt_lgssm_smooth",
+    "RobustChainResult",
+    "robust_lgssm_smooth",
 ]

@@ -107,11 +107,15 @@ def lgssm_smooth_scan(
     ChainMarginals with ``mean``/``variance`` of shape ``(..., T)``.
     """
     y = jnp.asarray(y)
-    T = y.shape[-1]
     yT = jnp.moveaxis(y, -1, 0)  # (T, ...batch)
-
     xi_obs, w_obs = _obs_message(yT, H, R)
+    return _info_form_smooth(xi_obs, w_obs, A, Q, prior)
 
+
+def _info_form_smooth(xi_obs, w_obs, A, Q, prior):
+    """Forward/backward sweep over information-form observation messages
+    ``(T, ...batch)`` — shared by the Gaussian path and the robust
+    (per-step reweighted) path."""
     if prior is not None:
         pm, pv = prior
         xi0 = xi_obs[0] + pm / pv

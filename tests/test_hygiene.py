@@ -37,6 +37,7 @@ MODULES = [
     "cortex_tpu.ops.gabp",
     "cortex_tpu.ops.hmc",
     "cortex_tpu.ops.sqrt_kalman",
+    "cortex_tpu.ops.robust",
     "cortex_tpu.models",
     "cortex_tpu.parallel",
     "cortex_tpu.utils",
