@@ -1,6 +1,7 @@
 """Model zoo: the reference's example families, TPU-first."""
 
 from .ar import ARPosterior, BayesianAR, companion_matrix, latent_ar_smooth
+from .bocpd import BOCPD, BOCPDResult, BernoulliBeta, GaussianNIG
 from .ep_classifier import EPClassifier, EPClassifierPosterior
 from .glm import (
     BayesianLinearRegression,
@@ -35,6 +36,10 @@ from .slds import SLDS, SLDSBeliefs
 
 __all__ = [
     "LGSSM",
+    "BOCPD",
+    "BOCPDResult",
+    "GaussianNIG",
+    "BernoulliBeta",
     "HMM",
     "HMMVMPState",
     "HMMVMPResult",

@@ -1,6 +1,7 @@
 """SPMD scaling: device meshes, replica/time sharding, collectives."""
 
 from .mesh import P, make_mesh, replica_sharding, shard_replicas
+from .pipelined import lgssm_smooth_pipelined
 from .time_sharded import lgssm_smooth_time_sharded, mv_lgssm_smooth_time_sharded
 from .streaming import StreamingSession, stream_filter
 from .reductions import all_converged, global_sum
@@ -10,6 +11,7 @@ __all__ = [
     "replica_sharding",
     "shard_replicas",
     "P",
+    "lgssm_smooth_pipelined",
     "lgssm_smooth_time_sharded",
     "mv_lgssm_smooth_time_sharded",
     "StreamingSession",

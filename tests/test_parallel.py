@@ -247,3 +247,59 @@ def test_vmapped_sharded_hmc_chains():
     draws = np.asarray(res.samples).reshape(-1, 3)
     np.testing.assert_allclose(draws.mean(axis=0), 0.0, atol=0.15)
     np.testing.assert_allclose(draws.std(axis=0), 1.0, atol=0.15)
+
+
+@pytest.mark.parametrize("use_prior,n_micro", [(False, None), (True, 2)])
+def test_pipelined_smoothing_matches_single_device(use_prior, n_micro):
+    from cortex_tpu.parallel import lgssm_smooth_pipelined
+
+    rng = np.random.default_rng(3)
+    batch, T = 16, 64
+    y = jnp.asarray(
+        rng.normal(size=(batch, T)).cumsum(axis=-1), dtype=jnp.float32
+    )
+    prior = (0.5, 2.0) if use_prior else None
+
+    mesh = make_mesh([("time", 8)])
+    result = lgssm_smooth_pipelined(
+        y, A=0.9, Q=0.3, H=1.2, R=1.5, mesh=mesh, prior=prior, n_micro=n_micro
+    )
+    expected = lgssm_smooth_scan(y, A=0.9, Q=0.3, H=1.2, R=1.5, prior=prior)
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.variance),
+        np.asarray(expected.variance),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_pipelined_smoothing_handles_missing_observations():
+    from cortex_tpu.parallel import lgssm_smooth_pipelined
+
+    rng = np.random.default_rng(4)
+    y = rng.normal(size=(8, 32)).cumsum(axis=-1).astype(np.float32)
+    y[0, 5:9] = np.nan
+    y[3, 0] = np.nan
+    y = jnp.asarray(y)
+
+    mesh = make_mesh([("time", 8)])
+    result = lgssm_smooth_pipelined(y, A=0.95, Q=0.4, H=1.0, R=1.0, mesh=mesh)
+    expected = lgssm_smooth_scan(y, A=0.95, Q=0.4, H=1.0, R=1.0)
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pipelined_smoothing_input_validation():
+    from cortex_tpu.parallel import lgssm_smooth_pipelined
+
+    mesh = make_mesh([("time", 8)])
+    with pytest.raises(ValueError):  # ragged time split
+        lgssm_smooth_pipelined(jnp.ones((8, 60)), mesh=mesh)
+    with pytest.raises(ValueError):  # ragged microbatch split
+        lgssm_smooth_pipelined(jnp.ones((6, 64)), mesh=mesh)
+    with pytest.raises(ValueError):  # needs (batch, T)
+        lgssm_smooth_pipelined(jnp.ones(64), mesh=mesh)
