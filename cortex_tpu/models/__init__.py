@@ -30,6 +30,7 @@ from .lgssm import LGSSM
 from .mv_lgssm import MvLGSSM
 from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
+from .ppca import FactorAnalysis, FAResult, PPCA, PPCAResult, ppca_closed_form
 from .rbpf import RBPFResult, rbpf_filter
 from .sgp import SGPR, SGPRPosterior, fit_sgpr_ml
 from .slds import SLDS, SLDSBeliefs
@@ -40,6 +41,11 @@ __all__ = [
     "BOCPDResult",
     "GaussianNIG",
     "BernoulliBeta",
+    "PPCA",
+    "PPCAResult",
+    "FactorAnalysis",
+    "FAResult",
+    "ppca_closed_form",
     "HMM",
     "HMMVMPState",
     "HMMVMPResult",
