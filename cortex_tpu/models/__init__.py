@@ -23,6 +23,7 @@ from .fit import (
 )
 from .gmm import GMM, GMMPosterior, GMMResult
 from .gp import GP, GPPosterior, fit_gp_ml
+from .gp_ssm import GPSSM, GPSSMPosterior, fit_gpssm_ml, matern_state_space
 from .gpc import GPClassifier, GPCPosterior
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
@@ -46,6 +47,10 @@ __all__ = [
     "FactorAnalysis",
     "FAResult",
     "ppca_closed_form",
+    "GPSSM",
+    "GPSSMPosterior",
+    "fit_gpssm_ml",
+    "matern_state_space",
     "HMM",
     "HMMVMPState",
     "HMMVMPResult",
