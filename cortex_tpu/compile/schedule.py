@@ -25,6 +25,7 @@ The resulting :class:`StaticSchedule` is pure data; execution lives in
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -309,6 +310,42 @@ def extract_schedule(
     # marginal landing here means its update silently never runs.
     skipped = [s for s in candidates if id(s) not in computable_set]
     computable = [s for s in candidates if id(s) in computable_set]
+
+    # A requested target (or anything it transitively depends on) landing in
+    # `skipped` means its update silently never runs — e.g. a VMP marginal in
+    # a weak-deadlocked cycle.  Warn by default (engine warning + Python
+    # warning), mirroring the reference's soft-diagnostic style
+    # (``src/inference_engine.jl:11-14``; dangling case ``src/dependencies.jl:40-43``).
+    if skipped:
+        skipped_ids = {id(s) for s in skipped}
+        tainted_memo: Dict[int, bool] = {}
+
+        def _tainted(s: Signal) -> bool:
+            sid = id(s)
+            if sid in tainted_memo:
+                return tainted_memo[sid]
+            tainted_memo[sid] = False  # cycle-safe provisional value
+            hit = sid in skipped_ids or any(
+                _tainted(d) for d in s.get_dependencies()
+            )
+            tainted_memo[sid] = hit
+            return hit
+
+        affected = [
+            vid
+            for vid, sig in targets.items()
+            if _tainted(sig) or any(_tainted(ls) for ls in linked[vid])
+        ]
+        if affected:
+            description = (
+                f"{len(affected)} requested target(s) depend on "
+                f"{len(skipped)} unschedulable signal(s) (never-computable "
+                "or frozen at their compile-time value); their updates will "
+                "silently never run. Example skipped variant: "
+                f"{skipped[0].variant!r}"
+            )
+            engine.add_warning(description, affected)
+            warnings.warn(description, stacklevel=2)
 
     # Iteration state ("initials"): every compile-time-computed signal that
     # participates — frozen reads (observed marginals, excluded candidates)

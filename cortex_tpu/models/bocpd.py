@@ -20,10 +20,12 @@ Observation families (both conjugate, per run-length hypothesis):
 - :class:`BernoulliBeta` — unknown rate, Beta prior, Beta-Bernoulli
   predictive (the reference's coin-toss algebra, online).
 
-Truncation: run lengths ≥ ``r_max - 1`` accumulate in the last bin (mass is
-preserved; the last bin's sufficient statistics keep growing, which is the
-standard "old regime" approximation).  With ``r_max > T`` the filter is
-exact.
+Truncation: run lengths ≥ ``r_max - 1`` accumulate in the last bin.  Mass is
+merged exactly (``logaddexp``); the bin's sufficient statistics follow the
+higher-mass branch — if the "stayed" hypothesis dominates, the bin keeps its
+own updated statistics (the standard "old regime" approximation), otherwise
+it adopts the newly-arrived run's statistics.  With ``r_max > T`` the filter
+is exact.
 """
 
 from __future__ import annotations
@@ -43,8 +45,11 @@ __all__ = ["BOCPD", "GaussianNIG", "BernoulliBeta", "BOCPDResult"]
 class GaussianNIG:
     """Normal-Inverse-Gamma conjugate observation model.
 
-    Posterior after n observations with sum s and sum-of-squares q:
-    standard NIG recursions; predictive is Student-t.
+    Posterior after n observations: standard NIG recursions; predictive is
+    Student-t.  Sufficient statistics are accumulated *centered at the prior
+    mean* — ``(n, Σ(y−μ0), Σ(y−μ0)²)`` — so ``beta`` below is a sum of
+    near-positive terms; raw ``(Σy, Σy²)`` accumulation catastrophically
+    cancels in float32 once ``|mean|/std ≳ 1e3`` over long runs.
     """
 
     mu0: float = 0.0
@@ -54,26 +59,24 @@ class GaussianNIG:
 
     def init_stats(self, shape, dtype):
         z = jnp.zeros(shape, dtype)
-        return (z, z, z)  # (n, sum, sumsq)
+        return (z, z, z)  # (n, Σ(y−μ0), Σ(y−μ0)²)
 
     def update_stats(self, stats, y):
         n, s, q = stats
-        y = y[..., None]
-        return (n + 1.0, s + y, q + y * y)
+        yc = y[..., None] - self.mu0
+        return (n + 1.0, s + yc, q + yc * yc)
 
     def pred_logpdf(self, stats, y):
         n, s, q = stats
         y = y[..., None]
         kappa = self.kappa0 + n
-        mu = (self.kappa0 * self.mu0 + s) / kappa
+        delta = s / kappa  # = mu − mu0; division-safe (kappa ≥ kappa0 > 0)
+        mu = self.mu0 + delta
         alpha = self.alpha0 + 0.5 * n
-        # beta = beta0 + 0.5*(q - s²/n) + kappa0*n*(s/n - mu0)²/(2*(kappa0+n))
-        # written division-safely for n = 0:
-        beta = (
-            self.beta0
-            + 0.5 * (q - s * mu)
-            + 0.5 * self.kappa0 * self.mu0 * (self.mu0 - mu)
-        )
+        # beta0 + 0.5(q̃ − s̃²/n) + kappa0·n·(s̃/n)²/(2κ) simplifies, in the
+        # centered statistics, to beta0 + 0.5(q̃ − s̃·δ) — each term ≥ 0
+        # (Cauchy–Schwarz: s̃²/κ ≤ s̃²/n ≤ q̃), so no cancellation.
+        beta = self.beta0 + 0.5 * (q - s * delta)
         # Student-t(2*alpha, mu, beta*(kappa+1)/(alpha*kappa)) log pdf.
         nu = 2.0 * alpha
         scale2 = beta * (kappa + 1.0) / (alpha * kappa)
@@ -174,11 +177,19 @@ class BOCPD:
             new_logw = log_joint - step_Z[..., None]
 
             # Sufficient statistics follow the same shift: bin r+1 inherits
-            # bin r updated with y_t; bin 0 resets to the prior.
+            # bin r updated with y_t; bin 0 resets to the prior.  The merged
+            # last bin takes the higher-mass branch's statistics: its own
+            # updated stats when the "stayed ≥ r_max−1" hypothesis dominates
+            # (the old-regime approximation), else the shifted-in run's.
             upd = self.obs_model.update_stats(stats, y_t.astype(dtype))
             fresh = self.obs_model.init_stats(batch_shape + (R,), dtype)
+            keep_last = grow[..., -1] > grow[..., -2]
             new_stats = tuple(
-                jnp.concatenate([f[..., :1], u[..., :-1]], axis=-1)
+                jnp.concatenate(
+                    [f[..., :1], u[..., :-1]], axis=-1
+                ).at[..., -1].set(
+                    jnp.where(keep_last, u[..., -1], u[..., -2])
+                )
                 for f, u in zip(fresh, upd)
             )
             return (new_logw, new_stats, log_Z + step_Z), (new_logw,)

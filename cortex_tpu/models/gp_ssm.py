@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["GPSSM", "GPSSMPosterior", "fit_gpssm_ml", "matern_state_space"]
@@ -135,6 +136,15 @@ class GPSSM:
         via Kalman filter + RTS smoother over the Matérn SDE."""
         t = jnp.asarray(t)
         y = jnp.asarray(y)
+        # Host-side cheap check (numpy, so it never enters a jit trace);
+        # abstract/traced inputs skip it — the caller owns the invariant then.
+        if not isinstance(t, jax.core.Tracer) and np.any(
+            np.diff(np.asarray(t)) < 0
+        ):
+            raise ValueError(
+                "GPSSM inputs t must be sorted ascending: negative gaps make "
+                "exp(-λ·dt) blow up and the chain filter silently wrong."
+            )
         dts = jnp.diff(t)
         A, Q, H, P_inf = matern_state_space(
             self.kernel, self.lengthscale, self.variance, dts
@@ -211,6 +221,8 @@ def fit_gpssm_ml(
 
     t = jnp.asarray(t)
     y = jnp.asarray(y)
+    if np.any(np.diff(np.asarray(t)) < 0):
+        raise ValueError("fit_gpssm_ml requires t sorted ascending")
     if init is None:
         span = (t[-1] - t[0]) / max(t.shape[0] - 1, 1)
         init = (float(span * 10.0), float(jnp.var(y)), float(jnp.var(y)) * 0.1)

@@ -78,6 +78,12 @@ def ppca_closed_form(Y: jax.Array, n_components: int) -> PPCAResult:
     Y = jnp.asarray(Y)
     n, d = Y.shape
     q = n_components
+    if not 0 < q < d:
+        raise ValueError(
+            f"n_components must satisfy 0 < q < d (got q={q}, d={d}); "
+            "the isotropic noise estimate averages the d−q trailing "
+            "eigenvalues and is undefined at q = d."
+        )
     mu = Y.mean(axis=0)
     Yc = Y - mu
     S = (Yc.T @ Yc) / n
@@ -111,6 +117,10 @@ class PPCA:
         Y = jnp.asarray(Y)
         n, d = Y.shape
         q = self.n_components
+        if not 0 < q < d:
+            raise ValueError(
+                f"n_components must satisfy 0 < q < d (got q={q}, d={d})"
+            )
         mu = Y.mean(axis=0)
         Yc = Y - mu
         total_ss = jnp.sum(Yc * Yc)
@@ -189,6 +199,10 @@ class FactorAnalysis:
         Y = jnp.asarray(Y)
         n, d = Y.shape
         q = self.n_components
+        if not 0 < q < d:
+            raise ValueError(
+                f"n_components must satisfy 0 < q < d (got q={q}, d={d})"
+            )
         mu = Y.mean(axis=0)
         Yc = Y - mu
         diag_ss = jnp.sum(Yc * Yc, axis=0) / n  # (d,)

@@ -105,9 +105,33 @@ def test_schedule_skips_never_computable_signals():
     a.add_dependency(b)
     b.add_dependency(a)
     engine.get_variable(v).marginal.add_dependency(a)
-    sched = extract_schedule(engine, [v])
+    with pytest.warns(UserWarning, match="silently never run"):
+        sched = extract_schedule(engine, [v])
     assert sched.num_steps == 0
     assert len(sched.skipped) >= 2  # a and the marginal itself
+
+
+def test_schedule_warns_on_weak_deadlocked_target():
+    """A requested VMP marginal in a weak-deadlocked cycle (mutually
+    uncomputed weak reads) lands in ``skipped``; the compiler must emit an
+    engine warning by default instead of freezing it silently."""
+    from cortex_tpu import create_inference_signal, variants as V
+
+    g = BipartiteFactorGraph()
+    v = g.add_variable(Variable(name="v"))
+    w = g.add_variable(Variable(name="w"))
+    engine = InferenceEngine(model_engine=g, resolve_dependencies=False)
+    mv = engine.get_variable(v).marginal
+    mw = engine.get_variable(w).marginal
+    # Mutually-uncomputed weak cycle: neither can ever run its first update.
+    mv.add_dependency(mw, weak=True, intermediate=True)
+    mw.add_dependency(mv, weak=True, intermediate=True)
+    with pytest.warns(UserWarning, match="silently never run"):
+        sched = extract_schedule(engine, [v, w])
+    assert {id(s) for s in sched.skipped} == {id(mv), id(mw)}
+    warns = engine.get_warnings()
+    assert any("silently never run" in wn.description for wn in warns)
+    assert sorted(warns[-1].context) == sorted([v, w])
 
 
 # -- batched execution ------------------------------------------------------
