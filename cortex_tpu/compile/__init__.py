@@ -7,6 +7,12 @@ from .schedule import (
     dep_role_key,
     extract_schedule,
 )
+from .lowering import (
+    LoweredPlan,
+    ScanClass,
+    ScanSegment,
+    lower_schedule,
+)
 from .executor import (
     BatchedProcessor,
     CompiledInference,
@@ -21,6 +27,10 @@ __all__ = [
     "StaticSchedule",
     "extract_schedule",
     "dep_role_key",
+    "LoweredPlan",
+    "ScanClass",
+    "ScanSegment",
+    "lower_schedule",
     "BatchedProcessor",
     "CompiledInference",
     "product_reduce",

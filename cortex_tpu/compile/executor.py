@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core import variants as V
 from ..core.engine import InferenceEngine
 from ..core.signal import Signal
+from .lowering import LoweredPlan, ScanSegment, lower_schedule
 from .schedule import PhaseGroup, StaticSchedule, extract_schedule
 
 __all__ = [
@@ -130,11 +131,18 @@ class CompiledInference:
         variable_ids: Sequence[int],
         processor: BatchedProcessor,
         refine_key=None,
+        lower: bool = True,
     ) -> None:
         self.engine = engine
         self.processor = processor
         self.schedule: StaticSchedule = extract_schedule(
             engine, variable_ids, refine_key=refine_key
+        )
+        # Chain lowering: reroll unrolled linear recurrences into lax.scan
+        # segments (see cortex_tpu.compile.lowering).  None when nothing
+        # certifies — the phased execution below is then used directly.
+        self.plan: Optional[LoweredPlan] = (
+            lower_schedule(self.schedule) if lower else None
         )
         self._source_index: Dict[int, int] = {
             id(s): i for i, s in enumerate(self.schedule.sources)
@@ -217,6 +225,104 @@ class CompiledInference:
                 for st, val in zip(group.steps, tree_unstack(out, n)):
                     values[id(st.signal)] = val
 
+    def _execute_plan(self, values: Dict[int, Any]) -> None:
+        """One dataflow sweep via the lowered plan (scan segments + batched
+        phases); identical values to ``_execute_phases(schedule.phases)``."""
+        if self.plan is None:
+            self._execute_phases(values, self.schedule.phases)
+            return
+        for kind, seg in self.plan.segments:
+            if kind == "phase":
+                self._execute_phases(values, [seg])
+            else:
+                self._execute_scan(values, seg)
+
+    def _execute_scan(self, values: Dict[int, Any], seg: ScanSegment) -> None:
+        """Run one rerolled recurrence as ``lax.scan``.
+
+        Carry = the lookback windows of carried sequences; xs = stacked
+        per-iteration external inputs; ys = outputs consumed outside the
+        scan, unstacked back into the value table."""
+        from jax import lax
+
+        xs_slot: Dict[Tuple[int, int, int], int] = {}
+        xs_list: List[Any] = []
+        for ci, cls in enumerate(seg.classes):
+            for qi, specs in enumerate(cls.dep_specs):
+                for d, spec in enumerate(specs):
+                    if spec[0] == "xs":
+                        xs_slot[(ci, qi, d)] = len(xs_list)
+                        xs_list.append(
+                            tree_stack([values[id(s)] for s in spec[1]])
+                        )
+        carry_slots = sorted(seg.carry_window)
+        slot_index = {s: i for i, s in enumerate(carry_slots)}
+        carry0 = tuple(
+            tuple(values[id(sig)] for sig in seg.carry_init[s])
+            for s in carry_slots
+        )
+        emit = [
+            (ci, qi)
+            for ci, cls in enumerate(seg.classes)
+            for qi, e in enumerate(cls.emit_ys)
+            if e
+        ]
+
+        def body(carry, xs_row):
+            outs: Dict[Tuple[int, int], Any] = {}
+            for ci, cls in enumerate(seg.classes):
+                n = len(cls.seqs)
+                dep_values = []
+                for d in range(len(cls.dep_specs[0])):
+                    vals = []
+                    for qi in range(n):
+                        spec = cls.dep_specs[qi][d]
+                        if spec[0] == "const":
+                            vals.append(values[id(spec[1])])
+                        elif spec[0] == "xs":
+                            vals.append(xs_row[xs_slot[(ci, qi, d)]])
+                        elif spec[0] == "intra":
+                            vals.append(outs[(spec[1], spec[2])])
+                        else:  # carry
+                            window = carry[slot_index[(spec[1], spec[2])]]
+                            vals.append(window[spec[3] - 1])
+                    try:
+                        dep_values.append(tree_stack(vals))
+                    except (ValueError, TypeError) as e:
+                        raise TypeError(
+                            f"Cannot batch dependency {d} of scan class "
+                            f"{cls.key}: its {n} sequences carry incompatible "
+                            "value structures/shapes. Construct "
+                            "CompiledInference with lower=False or split the "
+                            "group with a refine_key."
+                        ) from e
+                group = PhaseGroup(cls.key, [seq[0] for seq in cls.seqs])
+                out = self.processor.dispatch(self.engine, group, dep_values)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    if jnp.shape(leaf)[:1] != (n,):
+                        raise ValueError(
+                            f"Rule for scan class {cls.key} returned a batch "
+                            f"of leading shape {jnp.shape(leaf)[:1]}, "
+                            f"expected ({n},)."
+                        )
+                for qi, val in enumerate(tree_unstack(out, n)):
+                    outs[(ci, qi)] = val
+            new_carry = tuple(
+                (outs[s],) + carry[slot_index[s]][:-1]
+                for s in carry_slots
+            )
+            ys = tuple(outs[s] for s in emit)
+            return new_carry, ys
+
+        _, ys = lax.scan(
+            body, carry0, tuple(xs_list) if xs_list else None, length=seg.length
+        )
+        for (ci, qi), arr in zip(emit, ys):
+            for i, st in enumerate(seg.classes[ci].seqs[qi]):
+                values[id(st.signal)] = jax.tree_util.tree_map(
+                    lambda a, i=i: a[i], arr
+                )
+
     def steady_state_phases(self):
         """The steady-state sweep: ALL steps collapsed into one phase with
         one group per rule key, in first-appearance (dataflow) order.
@@ -294,7 +400,7 @@ class CompiledInference:
             if steady_state and k > 0:
                 self._execute_phases(values, self.steady_state_phases())
             else:
-                self._execute_phases(values, self.schedule.phases)
+                self._execute_plan(values)
         marginals = {
             vid: values[id(sig)]
             for vid, sig in self.schedule.targets.items()
@@ -308,25 +414,34 @@ class CompiledInference:
         inputs: Mapping[Any, Any],
         n_iterations: int,
         state: Optional[Sequence[Any]] = None,
+        mode: str = "steady_state",
     ) -> Tuple[Dict[int, Any], List[Any]]:
         """Run the VMP fixed-point loop as ONE ``lax.fori_loop``.
 
-        One dataflow warm-start sweep, then ``n_iterations - 1`` steady-state
-        sweeps inside a ``fori_loop`` whose carry is the full value table —
-        compile time stays constant in ``n_iterations`` (vs. :meth:`iterate`,
-        which unrolls).  Wrap in ``jax.jit`` for the fully-compiled loop.
+        One dataflow warm-start sweep, then ``n_iterations - 1`` sweeps
+        inside a ``fori_loop`` whose carry is the full value table — compile
+        time stays constant in ``n_iterations`` (vs. :meth:`iterate`, which
+        unrolls).  Wrap in ``jax.jit`` for the fully-compiled loop.
+
+        ``mode``: ``"steady_state"`` (default) iterates the maximally-batched
+        block-Gauss-Seidel schedule; ``"dataflow"`` iterates the lowered
+        dataflow plan — the right choice for chain-heavy graphs where the
+        lowering produced scan segments (one sweep propagates information
+        end-to-end instead of one hop).
         """
         from jax import lax
 
         if n_iterations < 1:
             raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
+        if mode not in ("steady_state", "dataflow"):
+            raise ValueError(f"Unknown fixed_point mode: {mode!r}")
         values: Dict[int, Any] = self._resolve_inputs(inputs)
         if state is None:
             state = self.initial_state()
         for sig, val in zip(self.schedule.initials, state):
             values[id(sig)] = val
         # Warm start (dataflow order) populates every scheduled signal.
-        self._execute_phases(values, self.schedule.phases)
+        self._execute_plan(values)
 
         # Stable carry order: every signal appearing in the value table.
         carry_sigs: List[Signal] = []
@@ -347,7 +462,10 @@ class CompiledInference:
         def body(_, carry):
             table = dict(zip(carry_ids, carry))
             table.update(frozen)
-            self._execute_phases(table, self.steady_state_phases())
+            if mode == "dataflow":
+                self._execute_plan(table)
+            else:
+                self._execute_phases(table, self.steady_state_phases())
             return tuple(table[i] for i in carry_ids)
 
         carry = tuple(values[i] for i in carry_ids)
@@ -364,4 +482,7 @@ class CompiledInference:
         return marginals, new_state
 
     def summary(self) -> str:
-        return self.schedule.summary()
+        out = self.schedule.summary()
+        if self.plan is not None:
+            out += "\n" + self.plan.summary()
+        return out
