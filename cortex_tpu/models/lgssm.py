@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..ops.chains import (
     ChainMarginals,
     lgssm_smooth_assoc,
+    lgssm_smooth_matmul,
     lgssm_smooth_scan,
     scalar_kalman_update,
 )
@@ -68,6 +69,9 @@ class LGSSM:
             return lgssm_smooth_scan(y, self.A, self.Q, self.H, self.R, prior)
         if method == "assoc":
             return lgssm_smooth_assoc(y, self.A, self.Q, self.H, self.R, prior)
+        if method == "matmul":
+            # MXU lowering: the smoother is affine in y (dense data only).
+            return lgssm_smooth_matmul(y, self.A, self.Q, self.H, self.R, prior)
         raise ValueError(f"Unknown method: {method!r}")
 
     def filter(

@@ -4,7 +4,9 @@ from .chains import (
     ChainMarginals,
     lgssm_messages_scan,
     lgssm_smooth_assoc,
+    lgssm_smooth_matmul,
     lgssm_smooth_scan,
+    lgssm_smoother_operator,
     scalar_kalman_update,
 )
 from .chains_mv import (
@@ -28,6 +30,8 @@ __all__ = [
     "ChainMarginals",
     "lgssm_smooth_scan",
     "lgssm_smooth_assoc",
+    "lgssm_smooth_matmul",
+    "lgssm_smoother_operator",
     "lgssm_messages_scan",
     "scalar_kalman_update",
     "MvChainMarginals",

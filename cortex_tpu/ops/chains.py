@@ -40,6 +40,8 @@ from jax import lax
 __all__ = [
     "lgssm_smooth_scan",
     "lgssm_smooth_assoc",
+    "lgssm_smooth_matmul",
+    "lgssm_smoother_operator",
     "lgssm_messages_scan",
     "scalar_kalman_update",
 ]
@@ -180,6 +182,78 @@ def _info_form_smooth(xi_obs, w_obs, A, Q, prior):
 
     mean = jnp.moveaxis(xi_m / w_m, 0, -1)
     variance = jnp.moveaxis(1.0 / w_m, 0, -1)
+    return ChainMarginals(mean, variance)
+
+
+# -- MXU (matmul) formulation ------------------------------------------------
+#
+# The smoother is an *affine* operator in the observations: the marginal
+# precisions w_m depend only on (A, Q, H, R, T) — not on the data — and the
+# information means xi_m are linear in y.  So the entire R-replica sweep is
+#
+#     mean = y @ S + c,     variance = v   (one data-independent row)
+#
+# with S the (T, T) smoother impulse-response matrix.  This is the TPU-native
+# lowering of the reference's whole chain sweep
+# (/root/reference/src/inference_engine.jl:559-632 over the chain of
+# test/inference_engine_tests.jl:379-488): a single MXU matmul replaces
+# 3T-2 per-signal message updates per replica, with zero intermediate HBM
+# traffic and no transposes.  FLOPs are 2·R·T² — at T=100 still firmly
+# bandwidth-bound, i.e. speed-of-light for this memory footprint.
+
+
+def lgssm_smoother_operator(
+    T: int,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    prior: Optional[Tuple[jax.Array, jax.Array]] = None,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Precompute the affine smoother ``(S, c, v)``: ``mean = y @ S + c``,
+    ``variance = v`` (shape ``(T,)``, data-independent).
+
+    Built by smoothing the T×T identity through :func:`lgssm_smooth_scan`
+    (the smoother's impulse response), so it is exact for any (A, Q, H, R)
+    and inherits the prior convention.  Cost: one T-step scan over T
+    replicas, once per (model, T).
+    """
+    eye = jnp.eye(T, dtype=dtype)
+    base = lgssm_smooth_scan(jnp.zeros((T,), dtype), A, Q, H, R, prior)
+    cols = lgssm_smooth_scan(eye, A, Q, H, R, prior)
+    # cols.mean[s, t] = d mean_t / d y_s; base.mean is the prior-only offset.
+    S = cols.mean - base.mean[None, :]
+    return S, base.mean, base.variance
+
+
+def lgssm_smooth_matmul(
+    y: jax.Array,
+    A: float = 1.0,
+    Q: float = 1.0,
+    H: float = 1.0,
+    R: float = 1.0,
+    prior: Optional[Tuple[jax.Array, jax.Array]] = None,
+    operator: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> ChainMarginals:
+    """BP smoothing as ONE MXU matmul: ``mean = y @ S + c``.
+
+    Identical marginals to :func:`lgssm_smooth_scan` (up to matmul rounding;
+    computed at ``Precision.HIGHEST``).  Requires dense observations — a NaN
+    (missing) entry poisons that replica's outputs loudly; use the scan path
+    for missing data.  Pass a precomputed ``operator`` (from
+    :func:`lgssm_smoother_operator`) to amortize the operator build across
+    calls/jits.
+    """
+    y = jnp.asarray(y)
+    if operator is None:
+        operator = lgssm_smoother_operator(y.shape[-1], A, Q, H, R, prior, y.dtype)
+    S, offset, var_row = operator
+    mean = (
+        jnp.matmul(y, S.astype(y.dtype), precision=lax.Precision.HIGHEST)
+        + offset.astype(y.dtype)
+    )
+    variance = jnp.broadcast_to(var_row.astype(y.dtype), mean.shape)
     return ChainMarginals(mean, variance)
 
 

@@ -42,7 +42,7 @@ def numpy_rts(y, A=1.0, Q=1.0, H=1.0, R=1.0, prior=None):
     return sm, sv
 
 
-@pytest.mark.parametrize("method", ["scan", "assoc"])
+@pytest.mark.parametrize("method", ["scan", "assoc", "matmul"])
 @pytest.mark.parametrize(
     "params", [dict(), dict(A=0.9, Q=0.5, H=2.0, R=0.3)]
 )
@@ -58,7 +58,7 @@ def test_smoother_matches_numpy_rts(method, params):
     np.testing.assert_allclose(np.asarray(result.variance), sv, rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("method", ["scan", "assoc"])
+@pytest.mark.parametrize("method", ["scan", "assoc", "matmul"])
 def test_smoother_with_prior_matches_numpy_rts(method):
     rng = np.random.default_rng(3)
     T = 40
@@ -68,6 +68,21 @@ def test_smoother_with_prior_matches_numpy_rts(method):
     sm, sv = numpy_rts(y, A=1.0, Q=0.7, H=1.0, R=2.0, prior=(1.5, 4.0))
     np.testing.assert_allclose(np.asarray(result.mean), sm, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(result.variance), sv, rtol=2e-4, atol=2e-4)
+
+
+def test_matmul_agrees_batched_with_precomputed_operator():
+    from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
+
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.normal(size=(16, 40)).cumsum(axis=-1), jnp.float32)
+    A, Q, H, R = 0.95, 0.8, 1.2, 0.5
+    ref = lgssm_smooth_scan(y, A, Q, H, R)
+    op = lgssm_smoother_operator(40, A, Q, H, R)
+    out = jax.jit(lambda d: lgssm_smooth_matmul(d, operator=op))(y)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.variance), np.asarray(ref.variance), rtol=2e-5, atol=2e-6
+    )
 
 
 def test_scan_and_assoc_agree_batched():
