@@ -1,10 +1,21 @@
 # Developer targets (parity with the reference's Makefile: test / benchmark /
 # format / docs).
 
-.PHONY: test test-fast bench bench-save bench-judge native clean docs
+.PHONY: test test-fast lint bench bench-save bench-judge native clean docs tpu-check
 
 test:
 	python -m pytest tests/ -q
+
+# Static-analysis gate (the reference's Aqua/JET analogue,
+# test/runtests.jl:103-110): undefined names, unused imports, __all__
+# hygiene.  Zero findings required; also enforced by tests/test_lint.py.
+lint:
+	python tools/lint.py
+
+# On-chip artifact: pallas-vs-scan parity + AOT export + serving smoke on the
+# real TPU; writes TPU_CHECK.json (VERDICT r1 item 7).
+tpu-check:
+	python benchmarks/tpu_check.py
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not parallel and not chains_mv"

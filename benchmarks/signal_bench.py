@@ -7,7 +7,6 @@ check).  Runs both the Python and the native C++ signal cores.
 Usage: python benchmarks/signal_bench.py
 """
 
-import json
 import time
 
 from cortex_tpu import Signal

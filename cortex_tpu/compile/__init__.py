@@ -16,7 +16,10 @@ from .lowering import (
 from .executor import (
     BatchedProcessor,
     CompiledInference,
+    PackRef,
+    materialize,
     product_reduce,
+    smart_stack,
     tree_stack,
     tree_unstack,
 )
@@ -33,6 +36,9 @@ __all__ = [
     "lower_schedule",
     "BatchedProcessor",
     "CompiledInference",
+    "PackRef",
+    "materialize",
+    "smart_stack",
     "product_reduce",
     "tree_stack",
     "tree_unstack",

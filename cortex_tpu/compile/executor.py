@@ -16,7 +16,7 @@ reference's weak-dependency pending criterion (``src/signal.jl:668-730``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,9 @@ from .schedule import PhaseGroup, StaticSchedule, extract_schedule
 __all__ = [
     "tree_stack",
     "tree_unstack",
+    "PackRef",
+    "materialize",
+    "smart_stack",
     "BatchedProcessor",
     "product_reduce",
     "CompiledInference",
@@ -44,6 +47,57 @@ def tree_stack(values: Sequence[Any]) -> Any:
 def tree_unstack(stacked: Any, n: int) -> List[Any]:
     """Split axis 0 of a stacked pytree back into n pytrees."""
     return [jax.tree_util.tree_map(lambda a: a[i], stacked) for i in range(n)]
+
+
+class PackRef:
+    """Lazy reference to row ``index`` of a stacked pytree (``pack``).
+
+    The executor's value table stores one entry per signal; materializing a
+    row per signal costs one HLO slice each, which makes trace/compile time
+    O(num_signals) — quadratic blow-ups at 10^4-10^5 signals (measured in
+    ``benchmarks/compiler_scale_bench.py``).  Group outputs therefore stay
+    *packed*: each table entry is a ``PackRef`` into its group's stacked
+    output, and :func:`smart_stack` turns a dependency list that lives in one
+    pack into a single gather (or the pack itself, when the rows align) —
+    O(num_rule_groups) HLO ops per sweep instead of O(num_signals).
+    """
+
+    __slots__ = ("pack", "index", "length")
+
+    def __init__(self, pack: Any, index: int, length: int) -> None:
+        self.pack = pack
+        self.index = index
+        self.length = length
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"PackRef(index={self.index}, length={self.length})"
+
+
+def materialize(value: Any) -> Any:
+    """Resolve a possibly-:class:`PackRef` table entry to a concrete pytree."""
+    if isinstance(value, PackRef):
+        i = value.index
+        return jax.tree_util.tree_map(lambda a: a[i], value.pack)
+    return value
+
+
+def smart_stack(values: Sequence[Any]) -> Any:
+    """:func:`tree_stack` that recognizes rows of one pack.
+
+    If every element is a :class:`PackRef` into the SAME pack, emit either the
+    pack itself (rows ``0..n-1`` in order — zero-cost) or one fancy-index
+    gather; otherwise materialize each element and stack.
+    """
+    first = values[0] if values else None
+    if isinstance(first, PackRef) and all(
+        isinstance(v, PackRef) and v.pack is first.pack for v in values
+    ):
+        idx = [v.index for v in values]
+        if len(idx) == first.length and idx == list(range(first.length)):
+            return first.pack
+        idx_arr = jnp.asarray(idx)
+        return jax.tree_util.tree_map(lambda a: a[idx_arr], first.pack)
+    return tree_stack([materialize(v) for v in values])
 
 
 def product_reduce(dep_values: Sequence[Any]) -> Any:
@@ -151,6 +205,18 @@ class CompiledInference:
             id(s): i for i, s in enumerate(self.schedule.initials)
         }
         self._steady_state_cache = None
+        self._full_plan: Optional[LoweredPlan] = None
+        self._lower = lower
+
+    @property
+    def full_plan(self) -> Optional[LoweredPlan]:
+        """The lowered plan with EVERY sequence emitted as scan ys, so one
+        plan sweep populates the full value table (``fixed_point`` snapshots
+        every scheduled signal; the default plan elides scan-interior
+        signals).  Built lazily; ``None`` when nothing lowers."""
+        if self._full_plan is None and self.plan is not None:
+            self._full_plan = lower_schedule(self.schedule, emit_all=True)
+        return self._full_plan if self._full_plan is not None else self.plan
 
     # -- input plumbing ----------------------------------------------------
     def source_key(self, signal: Signal) -> Any:
@@ -172,8 +238,24 @@ class CompiledInference:
         (e.g. VMP initial marginals), in stable order."""
         return [s.get_value() for s in self.schedule.initials]
 
-    def _resolve_inputs(self, inputs: Mapping[Any, Any]) -> Dict[int, Any]:
+    def _resolve_inputs(
+        self, inputs: Mapping[Any, Any], source_pack: Any = None
+    ) -> Dict[int, Any]:
         values: Dict[int, Any] = {}
+        if source_pack is not None:
+            # One stacked pytree feeding ALL sources (row i = sources[i], the
+            # order of schedule.sources / source_keys()).  Rows enter the
+            # table as PackRefs, so a rule group whose dependencies are whole
+            # source families costs one gather — not len(sources) slices.
+            n = len(self.schedule.sources)
+            for leaf in jax.tree_util.tree_leaves(source_pack):
+                if jnp.shape(leaf)[:1] != (n,):
+                    raise ValueError(
+                        f"source_pack leading axis must equal the number of "
+                        f"sources ({n}), got {jnp.shape(leaf)[:1]}."
+                    )
+            for i, s in enumerate(self.schedule.sources):
+                values[id(s)] = PackRef(source_pack, i, n)
         by_key = {self.source_key(s): s for s in self.schedule.sources}
         for k, v in inputs.items():
             if k in by_key:
@@ -201,7 +283,7 @@ class CompiledInference:
                 for j in range(n_deps):
                     try:
                         dep_values.append(
-                            tree_stack(
+                            smart_stack(
                                 [values[id(st.deps[j])] for st in group.steps]
                             )
                         )
@@ -222,16 +304,22 @@ class CompiledInference:
                             f"leading shape {jnp.shape(leaf)[:1]}, expected "
                             f"({n},) — one output per step in the group."
                         )
-                for st, val in zip(group.steps, tree_unstack(out, n)):
-                    values[id(st.signal)] = val
+                # Lazy unstack: each signal's entry is a PackRef row into the
+                # group output; downstream smart_stacks re-fuse them into one
+                # gather (or reuse the pack outright).
+                for i, st in enumerate(group.steps):
+                    values[id(st.signal)] = PackRef(out, i, n)
 
-    def _execute_plan(self, values: Dict[int, Any]) -> None:
+    def _execute_plan(
+        self, values: Dict[int, Any], plan: Optional[LoweredPlan] = None
+    ) -> None:
         """One dataflow sweep via the lowered plan (scan segments + batched
         phases); identical values to ``_execute_phases(schedule.phases)``."""
-        if self.plan is None:
+        plan = plan if plan is not None else self.plan
+        if plan is None:
             self._execute_phases(values, self.schedule.phases)
             return
-        for kind, seg in self.plan.segments:
+        for kind, seg in plan.segments:
             if kind == "phase":
                 self._execute_phases(values, [seg])
             else:
@@ -253,12 +341,12 @@ class CompiledInference:
                     if spec[0] == "xs":
                         xs_slot[(ci, qi, d)] = len(xs_list)
                         xs_list.append(
-                            tree_stack([values[id(s)] for s in spec[1]])
+                            smart_stack([values[id(s)] for s in spec[1]])
                         )
         carry_slots = sorted(seg.carry_window)
         slot_index = {s: i for i, s in enumerate(carry_slots)}
         carry0 = tuple(
-            tuple(values[id(sig)] for sig in seg.carry_init[s])
+            tuple(materialize(values[id(sig)]) for sig in seg.carry_init[s])
             for s in carry_slots
         )
         emit = [
@@ -278,7 +366,7 @@ class CompiledInference:
                     for qi in range(n):
                         spec = cls.dep_specs[qi][d]
                         if spec[0] == "const":
-                            vals.append(values[id(spec[1])])
+                            vals.append(materialize(values[id(spec[1])]))
                         elif spec[0] == "xs":
                             vals.append(xs_row[xs_slot[(ci, qi, d)]])
                         elif spec[0] == "intra":
@@ -318,10 +406,9 @@ class CompiledInference:
             body, carry0, tuple(xs_list) if xs_list else None, length=seg.length
         )
         for (ci, qi), arr in zip(emit, ys):
-            for i, st in enumerate(seg.classes[ci].seqs[qi]):
-                values[id(st.signal)] = jax.tree_util.tree_map(
-                    lambda a, i=i: a[i], arr
-                )
+            seq = seg.classes[ci].seqs[qi]
+            for i, st in enumerate(seq):
+                values[id(st.signal)] = PackRef(arr, i, len(seq))
 
     def steady_state_phases(self):
         """The steady-state sweep: ALL steps collapsed into one phase with
@@ -360,12 +447,17 @@ class CompiledInference:
         self,
         inputs: Mapping[Any, Any],
         state: Optional[Sequence[Any]] = None,
+        *,
+        source_pack: Any = None,
+        packed: bool = False,
     ) -> Tuple[Dict[int, Any], List[Any]]:
         """Execute one full (dataflow-ordered) sweep.  Returns ``(marginals,
         new_state)`` where ``marginals`` maps variable_id → value and
         ``new_state`` carries the updated iteration state (for VMP fixed-point
         loops)."""
-        return self.iterate(inputs, 1, state)
+        return self.iterate(
+            inputs, 1, state, source_pack=source_pack, packed=packed
+        )
 
     def __call__(self, inputs: Mapping[Any, Any]) -> Dict[int, Any]:
         marginals, _ = self.run(inputs)
@@ -377,6 +469,9 @@ class CompiledInference:
         n_iterations: int,
         state: Optional[Sequence[Any]] = None,
         steady_state: bool = False,
+        *,
+        source_pack: Any = None,
+        packed: bool = False,
     ) -> Tuple[Dict[int, Any], List[Any]]:
         """Run ``n_iterations`` VMP sweeps, threading the iteration state.
 
@@ -388,10 +483,17 @@ class CompiledInference:
 
         The per-sweep program is pure, so wrapping this call in ``jax.jit``
         compiles the whole fixed-point loop.
+
+        ``source_pack``: one stacked pytree feeding all sources (row i =
+        ``schedule.sources[i]``) — O(1) HLO ops instead of one per source.
+        ``packed=True`` returns marginal values as-is (possibly
+        :class:`PackRef` rows); callers that consume whole marginal families
+        should ``smart_stack([marginals[v] for v in family])`` — a single
+        gather (or free) rather than per-variable slices.
         """
         if n_iterations < 1:
             raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
-        values: Dict[int, Any] = self._resolve_inputs(inputs)
+        values: Dict[int, Any] = self._resolve_inputs(inputs, source_pack)
         if state is None:
             state = self.initial_state()
         for sig, val in zip(self.schedule.initials, state):
@@ -401,12 +503,13 @@ class CompiledInference:
                 self._execute_phases(values, self.steady_state_phases())
             else:
                 self._execute_plan(values)
+        out = (lambda v: v) if packed else materialize
         marginals = {
-            vid: values[id(sig)]
+            vid: out(values[id(sig)])
             for vid, sig in self.schedule.targets.items()
             if id(sig) in values
         }
-        new_state = [values[id(s)] for s in self.schedule.initials]
+        new_state = [out(values[id(s)]) for s in self.schedule.initials]
         return marginals, new_state
 
     def fixed_point(
@@ -415,6 +518,9 @@ class CompiledInference:
         n_iterations: int,
         state: Optional[Sequence[Any]] = None,
         mode: str = "steady_state",
+        *,
+        source_pack: Any = None,
+        packed: bool = False,
     ) -> Tuple[Dict[int, Any], List[Any]]:
         """Run the VMP fixed-point loop as ONE ``lax.fori_loop``.
 
@@ -435,50 +541,87 @@ class CompiledInference:
             raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
         if mode not in ("steady_state", "dataflow"):
             raise ValueError(f"Unknown fixed_point mode: {mode!r}")
-        values: Dict[int, Any] = self._resolve_inputs(inputs)
+        values: Dict[int, Any] = self._resolve_inputs(inputs, source_pack)
         if state is None:
             state = self.initial_state()
         for sig, val in zip(self.schedule.initials, state):
             values[id(sig)] = val
-        # Warm start (dataflow order) populates every scheduled signal.
-        self._execute_plan(values)
+        # Warm start (dataflow order) populates every scheduled signal: the
+        # carry below snapshots ALL of them, so use the fully-emitting plan
+        # (the default plan elides scan-interior signals).
+        self._execute_plan(values, self.full_plan)
 
-        # Stable carry order: every signal appearing in the value table.
-        carry_sigs: List[Signal] = []
-        seen: set = set()
-        for group_phase in self.schedule.phases:
-            for group in group_phase:
-                for st in group.steps:
-                    if id(st.signal) not in seen:
-                        seen.add(id(st.signal))
-                        carry_sigs.append(st.signal)
-        for s in self.schedule.initials:
-            if id(s) not in seen:
-                seen.add(id(s))
-                carry_sigs.append(s)
-        carry_ids = [id(s) for s in carry_sigs]
+        # Canonical carry: ONE stacked pack per steady-state rule group (the
+        # groups cover every scheduled signal), plus uncovered initials.
+        # Carrying packs instead of per-signal values keeps the fori_loop
+        # carry O(num_rule_groups) — per-signal carries cost O(num_signals)
+        # HLO ops per iteration boundary, a compile-time blow-up at 10^4+
+        # signals.  A group whose rows don't stack (heterogeneous structures
+        # under one rule key in dataflow mode) falls back to a per-signal
+        # tuple; the choice is made once, at carry0, and reused so the loop
+        # carry structure stays fixed.
+        carry_units: List[List[int]] = [
+            [id(st.signal) for st in g.steps]
+            for g in self.steady_state_phases()[0]
+        ]
+        seen = {sid for ids in carry_units for sid in ids}
+        extra = [id(s) for s in self.schedule.initials if id(s) not in seen]
+        seen.update(extra)
         frozen = {k: v for k, v in values.items() if k not in seen}
+        unit_packed: List[bool] = []
+
+        def snapshot(table):
+            parts = []
+            for ui, ids in enumerate(carry_units):
+                if len(unit_packed) <= ui:
+                    try:
+                        parts.append(smart_stack([table[i] for i in ids]))
+                        unit_packed.append(True)
+                    except (ValueError, TypeError):
+                        parts.append(
+                            tuple(materialize(table[i]) for i in ids)
+                        )
+                        unit_packed.append(False)
+                elif unit_packed[ui]:
+                    parts.append(smart_stack([table[i] for i in ids]))
+                else:
+                    parts.append(tuple(materialize(table[i]) for i in ids))
+            parts.append(tuple(materialize(table[i]) for i in extra))
+            return tuple(parts)
+
+        def restore(carry):
+            table = dict(frozen)
+            for ids, is_packed, part in zip(carry_units, unit_packed, carry):
+                if is_packed:
+                    n = len(ids)
+                    for i, sid in enumerate(ids):
+                        table[sid] = PackRef(part, i, n)
+                else:
+                    for sid, v in zip(ids, part):
+                        table[sid] = v
+            for sid, v in zip(extra, carry[-1]):
+                table[sid] = v
+            return table
 
         def body(_, carry):
-            table = dict(zip(carry_ids, carry))
-            table.update(frozen)
+            table = restore(carry)
             if mode == "dataflow":
-                self._execute_plan(table)
+                self._execute_plan(table, self.full_plan)
             else:
                 self._execute_phases(table, self.steady_state_phases())
-            return tuple(table[i] for i in carry_ids)
+            return snapshot(table)
 
-        carry = tuple(values[i] for i in carry_ids)
+        carry = snapshot(values)
         if n_iterations > 1:
             carry = lax.fori_loop(0, n_iterations - 1, body, carry)
-        final = dict(zip(carry_ids, carry))
-        final.update(frozen)
+        final = restore(carry)
+        out = (lambda v: v) if packed else materialize
         marginals = {
-            vid: final[id(sig)]
+            vid: out(final[id(sig)])
             for vid, sig in self.schedule.targets.items()
             if id(sig) in final
         }
-        new_state = [final[id(s)] for s in self.schedule.initials]
+        new_state = [out(final[id(s)]) for s in self.schedule.initials]
         return marginals, new_state
 
     def summary(self) -> str:

@@ -118,13 +118,21 @@ def _cmp(a, b) -> int:
     return (a > b) - (a < b)
 
 
-def lower_schedule(schedule: StaticSchedule) -> Optional[LoweredPlan]:
+def lower_schedule(
+    schedule: StaticSchedule, emit_all: bool = False
+) -> Optional[LoweredPlan]:
     """Attempt to lower ``schedule`` into scan segments.
 
     Returns ``None`` when nothing certifies (the caller keeps the plain
     phased execution).  A returned plan computes exactly the same signal
     values in an order equivalent to the phased executor's (weak-edge read
-    orientation preserved)."""
+    orientation preserved).
+
+    ``emit_all``: emit every lowered sequence as scan ys (not just signals
+    consumed outside their scan) so the value table covers ALL scheduled
+    signals after one plan sweep — required by ``fixed_point``'s carry,
+    which snapshots every signal.  Costs extra stacked outputs; default off
+    for plain ``run``/``iterate`` sweeps."""
     steps: List[ComputeStep] = []
     phase_of: Dict[int, int] = {}
     key_of: Dict[int, Tuple] = {}
@@ -225,7 +233,9 @@ def lower_schedule(schedule: StaticSchedule) -> Optional[LoweredPlan]:
     for seg in verified:
         for cls in seg.classes:
             for qi, path in enumerate(cls.seqs):
-                cls.emit_ys[qi] = any(id(st.signal) in keep for st in path)
+                cls.emit_ys[qi] = emit_all or any(
+                    id(st.signal) in keep for st in path
+                )
 
     # -- 4. coarse ordering: segments + rest steps ----------------------------
     return _build_plan(steps, key_of, verified, lowered_ids, produced, phase_of)

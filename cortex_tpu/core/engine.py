@@ -22,7 +22,7 @@ Mirrors the reference's ``src/inference_engine.jl``:
 from __future__ import annotations
 
 import time
-from typing import Any, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Any, List, Optional, Sequence, Union
 
 from . import variants as V
 from .model_engine import (
@@ -31,7 +31,7 @@ from .model_engine import (
     Variable,
     throw_if_engine_unsupported,
 )
-from .signal import Signal, UNDEF
+from .signal import Signal
 from ..utils import format_time_ns
 
 __all__ = [

@@ -15,7 +15,7 @@ concrete default backend lives in :mod:`cortex_tpu.core.graph`.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, List, Optional
+from typing import Any, List, Optional
 
 from .signal import Signal
 from .variants import create_inference_signal

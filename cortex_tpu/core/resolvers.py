@@ -25,7 +25,6 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 
 from . import variants as V
 from .signal import Signal
-from .variants import create_inference_signal
 
 __all__ = [
     "DependencyResolver",

@@ -9,7 +9,7 @@ carries one of these variants; the inference engine dispatches the matching
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Tuple, Union
+from typing import Tuple, Union
 
 from .signal import Signal, UNDEF
 

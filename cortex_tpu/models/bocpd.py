@@ -31,7 +31,7 @@ is exact.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple, Union
+from typing import NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ replicas and reducible with ``psum`` on a mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ monitoring (the reference has no free-energy computation; SURVEY.md §2.3).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ TPU-friendly (see :func:`systematic_resample`).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,8 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Any, Callable, List, Optional
+from typing import Any, Callable, List
 
-import numpy as np
 
 from ..core.signal import UNDEF, UNDEF_VARIANT, compute_value
 from ..core import variants as V

@@ -14,7 +14,7 @@ the reference's 2-D joint-marginal computations
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

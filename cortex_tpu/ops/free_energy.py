@@ -16,12 +16,10 @@ LGSSM: exact log-evidence), and this module provides the generic pieces:
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
-from ..dists.gaussian import Gaussian
 
 __all__ = ["elbo_conjugate", "bethe_free_energy_chain"]
 

@@ -21,7 +21,7 @@ node diagonals ``lam_diag`` and undirected edges ``(edges, lam_off)``.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

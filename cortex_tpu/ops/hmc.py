@@ -18,7 +18,7 @@ matrix from the warmup trajectory (Welford), then freezes both.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

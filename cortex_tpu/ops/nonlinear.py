@@ -25,7 +25,7 @@ Model (vector state ``d``, vector observation ``m``):
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Falls back to interpreter mode off-TPU so tests run on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

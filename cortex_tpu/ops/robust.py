@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .chains import ChainMarginals, _info_form_smooth
+from .chains import _info_form_smooth
 
 __all__ = ["RobustChainResult", "robust_lgssm_smooth"]
 

@@ -10,7 +10,6 @@ the convergence all-reduce used by distributed VMP loops.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ before blocking on the current chunk's result.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
+from typing import Any, Callable, Iterable, Optional, Tuple
 
 import jax
 

@@ -227,3 +227,34 @@ def test_fixed_point_dataflow_mode_matches_iterate():
     assert float(m_fp[x[4]].mean) == pytest.approx(
         float(m_it[x2[4]].mean), rel=1e-5, abs=1e-6
     )
+
+
+def test_fixed_point_on_chain_lowered_schedule():
+    """fixed_point must work when the plan elides scan-interior signals:
+    the warm start uses the fully-emitting plan (lower_schedule(emit_all=True))
+    so the carry can snapshot every scheduled signal.  Regression: KeyError
+    in the carry snapshot on chain-lowered schedules (both modes)."""
+    from test_compile import LGSSMChainBatched, make_chain_graph
+
+    from cortex_tpu.ops import lgssm_smooth_scan
+
+    n = 16
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=n).cumsum().astype(np.float32)
+
+    for mode in ("steady_state", "dataflow"):
+        engine, x, y, likelihood = make_chain_graph(n)
+        compiled = CompiledInference(engine, x, LGSSMChainBatched())
+        assert compiled.plan is not None and compiled.plan.scan_segments
+        inputs = {
+            ("message_to_factor", y[i], likelihood[i]): jnp.asarray(data[i])
+            for i in range(n)
+        }
+        # A BP chain is a DAG: already exact after the dataflow warm start,
+        # and extra sweeps must be a fixed point (no drift).
+        marginals, _ = compiled.fixed_point(inputs, n_iterations=4, mode=mode)
+        oracle = lgssm_smooth_scan(jnp.asarray(data), A=1.0, Q=1.0, H=1.0, R=1.0)
+        means = np.array([float(marginals[xi].mean) for xi in x])
+        np.testing.assert_allclose(
+            means, np.asarray(oracle.mean), rtol=1e-4, atol=1e-5
+        )
