@@ -27,8 +27,25 @@ from .chains import ChainMarginals
 __all__ = ["lgssm_smooth_pallas"]
 
 
-def _smooth_kernel(y_ref, mean_ref, var_ref, xi_f_ref, w_f_ref, *, A, Q, H, R):
-    """One replica tile: y_ref/(outputs) are (T, Rt) VMEM blocks."""
+def _smooth_kernel(y_ref, mean_ref, var_ref, yt_ref, xi_f_ref, w_f_ref,
+                   mean_t_ref, var_t_ref, *, A, Q, H, R):
+    """One replica tile on the NATURAL layout: y_ref/mean_ref/var_ref are
+    (Rt, T) VMEM blocks.  The time recursion wants timesteps on sublanes, so
+    the tile is relayouted once in VMEM ((Rt,T)->(T,Rt), and back for the
+    outputs) — a register/VMEM shuffle instead of the three HBM round-trip
+    transposes the previous (T,R)-convention kernel paid outside the kernel
+    (24MB extra HBM traffic per 10k-replica sweep; the reason it lost to the
+    two-scan path at 100k replicas in BENCH_r01)."""
+    yt_ref[...] = y_ref[...].T
+    _smooth_time_major(yt_ref, mean_t_ref, var_t_ref, xi_f_ref, w_f_ref,
+                       A=A, Q=Q, H=H, R=R)
+    mean_ref[...] = mean_t_ref[...].T
+    var_ref[...] = var_t_ref[...].T
+
+
+def _smooth_time_major(y_ref, mean_ref, var_ref, xi_f_ref, w_f_ref,
+                       *, A, Q, H, R):
+    """Recursion core: y_ref/(outputs) are (T, Rt) VMEM blocks/scratch."""
     T = y_ref.shape[0]
     w_obs = (H * H) / R
 
@@ -101,26 +118,26 @@ def lgssm_smooth_pallas(
     if pad:
         y = jnp.concatenate([y, jnp.ones((pad, T), y.dtype)], axis=0)
     n_padded = y.shape[0]
-    yT = y.T  # (T, n_padded)
 
     kernel = functools.partial(_smooth_kernel, A=A, Q=Q, H=H, R=R)
     grid = (n_padded // tile,)
-    block = pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    block = pl.BlockSpec((tile, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mean, var = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[block],
         out_specs=(block, block),
         out_shape=(
-            jax.ShapeDtypeStruct((T, n_padded), y.dtype),
-            jax.ShapeDtypeStruct((T, n_padded), y.dtype),
+            jax.ShapeDtypeStruct((n_padded, T), y.dtype),
+            jax.ShapeDtypeStruct((n_padded, T), y.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, tile), y.dtype),
-            pltpu.VMEM((T, tile), y.dtype),
+            pltpu.VMEM((T, tile), y.dtype),  # y relayout (time-major)
+            pltpu.VMEM((T, tile), y.dtype),  # forward-message xi
+            pltpu.VMEM((T, tile), y.dtype),  # forward-message w
+            pltpu.VMEM((T, tile), y.dtype),  # marginal mean (time-major)
+            pltpu.VMEM((T, tile), y.dtype),  # marginal var (time-major)
         ],
         interpret=interpret,
-    )(yT)
-    mean = mean.T[:n]
-    var = var.T[:n]
-    return ChainMarginals(mean, var)
+    )(y)
+    return ChainMarginals(mean[:n], var[:n])
