@@ -73,6 +73,19 @@ class PackRef:
         return f"PackRef(index={self.index}, length={self.length})"
 
 
+# PackRef is a registered pytree (children = the pack; index/length static),
+# so ``packed=True`` results survive jax.jit / tree_map / device_put
+# boundaries instead of failing as opaque leaves.  Note that each PackRef
+# carries its whole pack: passing many refs into one jit duplicates the pack
+# as a traced argument — prefer :func:`smart_stack` (one gather) or
+# :func:`materialize` before crossing boundaries in bulk.
+jax.tree_util.register_pytree_node(
+    PackRef,
+    lambda r: ((r.pack,), (r.index, r.length)),
+    lambda aux, children: PackRef(children[0], aux[0], aux[1]),
+)
+
+
 def materialize(value: Any) -> Any:
     """Resolve a possibly-:class:`PackRef` table entry to a concrete pytree."""
     if isinstance(value, PackRef):
@@ -206,7 +219,6 @@ class CompiledInference:
         }
         self._steady_state_cache = None
         self._full_plan: Optional[LoweredPlan] = None
-        self._lower = lower
 
     @property
     def full_plan(self) -> Optional[LoweredPlan]:

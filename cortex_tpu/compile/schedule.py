@@ -311,30 +311,28 @@ def extract_schedule(
     skipped = [s for s in candidates if id(s) not in computable_set]
     computable = [s for s in candidates if id(s) in computable_set]
 
-    # A requested target (or anything it transitively depends on) landing in
-    # `skipped` means its update silently never runs — e.g. a VMP marginal in
-    # a weak-deadlocked cycle.  Warn by default (engine warning + Python
-    # warning), mirroring the reference's soft-diagnostic style
-    # (``src/inference_engine.jl:11-14``; dangling case ``src/dependencies.jl:40-43``).
+    # A requested target landing in `skipped` means the update the user asked
+    # for silently never runs — e.g. a VMP marginal in a weak-deadlocked
+    # cycle.  Warn by default (engine warning + Python warning), mirroring
+    # the reference's soft-diagnostic style (``src/inference_engine.jl:11-14``;
+    # dangling case ``src/dependencies.jl:40-43``).
+    #
+    # Only the target's OWN marginal/linked signals being skipped warrants
+    # the warning.  A target merely *reading* a skipped-but-computed signal
+    # (e.g. an observed variable's frozen marginal in mean-field VMP) is
+    # correct and matches dynamic semantics — the dynamic engine never
+    # recomputes such signals either (their pending criterion can't satisfy,
+    # ``src/signal.jl:668-730``); flagging those was a false positive on
+    # canonical VMP models.  The availability fixpoint guarantees a
+    # *computable* target can only reach a skipped signal through such a
+    # frozen read, so membership is the exact criterion.
     if skipped:
         skipped_ids = {id(s) for s in skipped}
-        tainted_memo: Dict[int, bool] = {}
-
-        def _tainted(s: Signal) -> bool:
-            sid = id(s)
-            if sid in tainted_memo:
-                return tainted_memo[sid]
-            tainted_memo[sid] = False  # cycle-safe provisional value
-            hit = sid in skipped_ids or any(
-                _tainted(d) for d in s.get_dependencies()
-            )
-            tainted_memo[sid] = hit
-            return hit
-
         affected = [
             vid
             for vid, sig in targets.items()
-            if _tainted(sig) or any(_tainted(ls) for ls in linked[vid])
+            if id(sig) in skipped_ids
+            or any(id(ls) in skipped_ids for ls in linked[vid])
         ]
         if affected:
             description = (

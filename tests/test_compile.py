@@ -198,37 +198,9 @@ def test_compiled_run_is_jittable():
 # -- LGSSM chain through the generic compiler -------------------------------
 
 
-class LGSSMChainBatched(BatchedProcessor):
-    """Batched rules for the reference chain SSM
-    (test/inference_engine_tests.jl:415-432): likelihood messages lift raw
-    observations to N(y, 1); transition messages add unit variance."""
-
-    def compute_message_to_variable(self, engine, variants, dep_values):
-        form = engine.get_factor(variants[0].factor_id).functional_form
-        v = dep_values[0]
-        if form == "likelihood":
-            return from_mean_variance(v, jnp.ones_like(v))
-        if form == "transition":
-            return from_mean_variance(v.mean, v.variance + 1.0)
-        raise RuntimeError(form)
-
-
-def make_chain_graph(n):
-    g = BipartiteFactorGraph()
-    x = [g.add_variable(Variable(name="x", index=(i,))) for i in range(n)]
-    y = [g.add_variable(Variable(name="y", index=(i,))) for i in range(n)]
-    likelihood = [g.add_factor(Factor(functional_form="likelihood")) for _ in range(n)]
-    transition = [
-        g.add_factor(Factor(functional_form="transition")) for _ in range(n - 1)
-    ]
-    for i in range(n):
-        g.add_edge(y[i], likelihood[i], Connection(label="out"))
-        g.add_edge(x[i], likelihood[i], Connection(label="out"))
-    for i in range(n - 1):
-        g.add_edge(x[i], transition[i], Connection(label="out"))
-        g.add_edge(x[i + 1], transition[i], Connection(label="in"))
-    engine = InferenceEngine(model_engine=g)
-    return engine, x, y, likelihood
+# Promoted into the package (cortex_tpu/models/lgssm_graph.py) so bench.py
+# doesn't depend on the test tree; re-exported here for sibling tests.
+from cortex_tpu.models import LGSSMChainBatched, make_chain_graph  # noqa: E402,F401
 
 
 def test_compiled_chain_matches_scan_smoother():
