@@ -41,7 +41,6 @@ path over per-edge dynamic message passing.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -101,27 +100,31 @@ def bench_paths(R, K):
 
 def bench_generic_compiled(R, K):
     """The factor-graph path: CompiledInference over the T=100 chain graph
-    (chain lowering rerolls the schedule into one lax.scan), replica-batched."""
+    (chain lowering rerolls the schedule into one lax.scan), replica-batched.
+
+    Uses the executor's packed I/O end to end: one ``source_pack`` feeds all
+    T observation sources (rows permuted into ``schedule.sources`` order by
+    key — NOT construction order), and ``packed=True`` marginals are consumed
+    as one family via ``smart_stack`` (a single concat+gather across the
+    interior/endpoint rule-group packs)."""
     import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
-    from test_compile import LGSSMChainBatched, make_chain_graph
-
-    from cortex_tpu.compile import CompiledInference
+    from cortex_tpu.compile import CompiledInference, smart_stack
+    from cortex_tpu.models import LGSSMChainBatched, make_chain_graph
 
     engine, x, y, likelihood = make_chain_graph(T)
     compiled = CompiledInference(engine, x, LGSSMChainBatched())
-    sources = compiled.schedule.sources
+    vid_to_obs = {yv: i for i, yv in enumerate(y)}
+    perm = jnp.asarray([vid_to_obs[k[1]] for k in compiled.source_keys()])
     y0 = _make_data(R)
 
     def fn(data):
-        # data: (R, T); feed column t to source signal t (source order is
-        # the chain's observation order by construction of make_chain_graph).
-        inputs = {s: data[:, i] for i, s in enumerate(sources)}
-        marginals, _ = compiled.run(inputs)
-        return [marginals[xi].mean for xi in x] + [
-            marginals[xi].variance for xi in x
-        ]
+        # data: (R, T) -> source pack (T, R), row i = sources[i]'s value.
+        marginals, _ = compiled.run(
+            {}, source_pack=data.T[perm], packed=True
+        )
+        fam = smart_stack([marginals[xi] for xi in x])  # (T, R) Gaussian
+        return fam.mean, fam.variance
 
     lowered = bool(compiled.plan is not None and compiled.plan.scan_segments)
     return _serial_sweep_time(fn, y0, K), lowered
@@ -129,12 +132,13 @@ def bench_generic_compiled(R, K):
 
 def bench_dynamic_engine(T=100, sweeps=3):
     """Reference-architecture baseline: dynamic reactive engine on one chain."""
-    sys.path.insert(0, "tests")
-    from test_inference_engine import make_ssm_model
+    from cortex_tpu.models import LGSSMChainDynamic, make_chain_graph
 
     times = []
     for _ in range(sweeps):
-        engine, x, y, likelihood, transition = make_ssm_model(T)
+        engine, x, y, likelihood = make_chain_graph(
+            T, processor=LGSSMChainDynamic()
+        )
         rng = np.random.default_rng(1)
         data = rng.normal(size=T).cumsum()
         for i in range(T):
@@ -149,11 +153,183 @@ def bench_dynamic_engine(T=100, sweeps=3):
     return updates_per_sweep / dt
 
 
+# Public spec-sheet peaks (cloud.google.com/tpu/docs/system-architecture):
+# the absolute denominators for %HBM-peak and MFU (VERDICT r2 item 5).
+KNOWN_PEAKS = {
+    "TPU v5 lite": {"hbm_GBps": 819.0, "bf16_tflops": 197.0},
+    "TPU v4": {"hbm_GBps": 1228.0, "bf16_tflops": 275.0},
+    "TPU v5p": {"hbm_GBps": 2765.0, "bf16_tflops": 459.0},
+    "TPU v6 lite": {"hbm_GBps": 1640.0, "bf16_tflops": 918.0},
+}
+
+
+def bench_hw_peaks():
+    """Anchor the roofline to hardware: the chip's spec peaks plus measured
+    saturating probes (1 GB streaming copy; 8192^3 bf16 matmul)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev))
+    spec = KNOWN_PEAKS.get(kind, {})
+
+    # HBM: 1 GB f32 stream, read+write = 2 GB traffic per call.
+    n = 1 << 28
+    x = jax.block_until_ready(
+        jnp.broadcast_to(jnp.arange(1 << 14, dtype=jnp.float32), (1 << 14, 1 << 14))
+        .reshape(-1)[:n]
+        .copy()
+    )
+    dt = _serial_sweep_time(lambda v: v * 1.000001, x, 20)
+    hbm_probe_GBps = 2 * n * 4 / dt / 1e9
+    del x
+
+    # MXU: (8192, 8192) bf16 matmul — 2*8192^3 = 1.1e12 FLOP per call.
+    m = 8192
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (m, m), jnp.bfloat16)
+    a = jax.block_until_ready(jax.random.normal(key, (m, m), jnp.float32))
+    dt = _serial_sweep_time(lambda v: v.astype(jnp.bfloat16) @ w, a, 20)
+    mxu_probe_tflops = 2 * m**3 / dt / 1e12
+    del a, w
+    return {
+        "device_kind": kind,
+        "spec_hbm_GBps": spec.get("hbm_GBps"),
+        "spec_bf16_tflops": spec.get("bf16_tflops"),
+        "measured_hbm_probe_GBps": round(hbm_probe_GBps, 1),
+        "measured_mxu_probe_bf16_tflops": round(mxu_probe_tflops, 1),
+    }
+
+
+def _flops_of(fn, *args):
+    """XLA's own FLOP count for one call (exact MFU numerator)."""
+    import jax
+
+    try:
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else (c or {})
+        return float(c.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_ladder(peaks, K=40):
+    """On-chip device times for the rest of the BASELINE.md model ladder:
+    HMM+Dirichlet VMP, GMM structured VMP, MvLGSSM (d=4,16; MFU), streaming
+    HGF.  Same serialized-fori_loop methodology as the primary metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import GMM, HGF, HMM, MvLGSSM
+
+    hbm_peak = peaks.get("spec_hbm_GBps") or peaks["measured_hbm_probe_GBps"]
+    mxu_peak = (
+        peaks.get("spec_bf16_tflops")
+        or peaks["measured_mxu_probe_bf16_tflops"]
+    )
+    out = {}
+
+    # -- HMM forward-backward + Dirichlet VMP (pooled, R replicas) ---------
+    R_, T_, Kh, M = 4096, 64, 4, 8
+    hmm = HMM(K=Kh, log_pi=jnp.log(jnp.full(Kh, 1.0 / Kh)))
+    base = _make_data(R_)[:, :T_]  # float walks; symbols derived inside
+    iters = 4
+
+    def hmm_fn(method):
+        def fn(data):
+            obs = jnp.clip(jnp.abs(data).astype(jnp.int32) % M, 0, M - 1)
+            res = hmm.fit_vmp(
+                obs, M, n_iterations=iters, pooled=True, method=method
+            )
+            return res.state.trans_alpha, res.state.emis_alpha, res.elbo
+        return fn
+
+    hmm_us = {}
+    for method in ("scan", "pallas"):
+        dt = _serial_sweep_time(hmm_fn(method), base, K)
+        hmm_us[method] = round(dt / iters * 1e6, 1)
+    best_dt = min(hmm_us.values()) * 1e-6
+    out["hmm"] = {
+        "replicas": R_, "T": T_, "K": Kh, "M": M,
+        "per_vmp_iter_us": hmm_us,
+        # One VMP iteration touches R*T state marginals + R*(T-1) pairwise
+        # counts + R*T emission contributions ≈ 3 updates per step.
+        "msg_updates_per_s": round(R_ * T_ * 3 / best_dt, 1),
+    }
+
+    # -- GMM structured VMP (R independent replicas) -----------------------
+    Rg, N, D, Kg = 256, 256, 2, 4
+    key = jax.random.PRNGKey(1)
+    xg = jax.block_until_ready(
+        jax.random.normal(key, (Rg, N, D), jnp.float32)
+        + 3.0 * jax.random.randint(key, (Rg, N, 1), 0, Kg).astype(jnp.float32)
+    )
+    gmm = GMM(K=Kg)
+    giters = 4
+
+    def gmm_fn(data):
+        res = gmm.fit(data, n_iterations=giters)
+        return res.posterior.m, res.posterior.alpha, res.free_energy
+
+    dt = _serial_sweep_time(gmm_fn, xg, K) / giters
+    out["gmm"] = {
+        "replicas": Rg, "N": N, "D": D, "K": Kg,
+        "per_vmp_iter_us": round(dt * 1e6, 1),
+        "resp_updates_per_s": round(Rg * N * Kg / dt, 1),
+    }
+
+    # -- MvLGSSM smoothing (MXU path; MFU against bf16 spec peak) ----------
+    out["mv_lgssm"] = {}
+    for d, Rm in ((4, 4096), (16, 1024)):
+        m = MvLGSSM.from_arrays(
+            A=0.9 * np.eye(d), Q=np.eye(d), H=np.eye(d), R=np.eye(d),
+            m0=np.zeros(d), P0=np.eye(d),
+        )
+        key = jax.random.PRNGKey(d)
+        ym = jax.block_until_ready(
+            jnp.cumsum(jax.random.normal(key, (Rm, T, d), jnp.float32), 1)
+        )
+        fn = lambda v: m.smooth(v, method="assoc")
+        dt = _serial_sweep_time(fn, ym, K)
+        flops = _flops_of(fn, ym)
+        out["mv_lgssm"][f"d{d}"] = {
+            "replicas": Rm, "T": T, "sweep_us": round(dt * 1e6, 1),
+            "xla_flops_per_sweep": flops,
+            "achieved_tflops": round(flops / dt / 1e12, 2),
+            "mfu_pct_of_bf16_peak": round(100 * flops / dt / 1e12 / mxu_peak, 2),
+            "note": "f32 compute; MFU denominator is the bf16 spec peak",
+        }
+
+    # -- streaming HGF filtering ------------------------------------------
+    Rh, Th = 65536, 256
+    key = jax.random.PRNGKey(9)
+    uh = jax.block_until_ready(
+        jnp.cumsum(0.1 * jax.random.normal(key, (Rh, Th), jnp.float32), -1)
+    )
+    hgf = HGF()
+
+    def hgf_fn(data):
+        final, traj = hgf.filter(data)
+        return final, traj.mu1, traj.mu2
+
+    dt = _serial_sweep_time(hgf_fn, uh, K)
+    bytes_traffic = (1 + 5) * Rh * Th * 4  # read u, write 5-track trajectory
+    out["hgf"] = {
+        "replicas": Rh, "T": Th,
+        "sweep_us": round(dt * 1e6, 1),
+        "obs_per_s": round(Rh * Th / dt, 1),
+        "pct_hbm_peak": round(100 * bytes_traffic / dt / 1e9 / hbm_peak, 1),
+    }
+    return out
+
+
 def main():
+    peaks = bench_hw_peaks()
     replicas = 10_000
     primary = bench_paths(replicas, K=400)
     scale = bench_paths(100_000, K=100)
     generic_dt, generic_lowered = bench_generic_compiled(replicas, K=200)
+    ladder = bench_ladder(peaks)
 
     probe = primary.pop("probe")
     probe_100k = scale.pop("probe")
@@ -163,7 +339,17 @@ def main():
     updates_per_s = updates_per_sweep / dt
     baseline_updates_per_s = bench_dynamic_engine(T)
 
+    hbm_peak = peaks.get("spec_hbm_GBps") or peaks["measured_hbm_probe_GBps"]
+    mxu_peak = (
+        peaks.get("spec_bf16_tflops") or peaks["measured_mxu_probe_bf16_tflops"]
+    )
+    # MFU for the matmul path (XLA-counted FLOPs for the (R,T)x(T,T) form).
+    from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
+
+    op = lgssm_smoother_operator(T)
+    mm_flops = _flops_of(lambda y: lgssm_smooth_matmul(y, operator=op), _make_data(replicas))
     bytes_per_sweep = 3 * replicas * T * 4  # read y once, write mean+var
+    dt100k = min(scale.values())
     result = {
         "metric": "lgssm_10k_replica_message_updates_per_sec_per_chip",
         "value": round(updates_per_s, 1),
@@ -179,26 +365,48 @@ def main():
                 k: round(v * 1e6, 1) for k, v in scale.items()
             },
             "msg_updates_per_s_100k_replicas": round(
-                100_000 * (3 * T - 2) / min(scale.values()), 1
+                100_000 * (3 * T - 2) / dt100k, 1
             ),
+            "hardware": peaks,
             "roofline": {
                 "bytes_per_sweep": bytes_per_sweep,
                 "matched_traffic_probe_us": round(probe * 1e6, 1),
                 "probe_GBps": round(bytes_per_sweep / probe / 1e9, 1),
-                "pct_roofline_best": round(100.0 * probe / dt, 1),
+                "pct_matched_probe_best": round(100.0 * probe / dt, 1),
+                "pct_hbm_spec_peak_best": round(
+                    100.0 * bytes_per_sweep / dt / 1e9 / hbm_peak, 1
+                ),
+                "mfu_pct_matmul_path": round(
+                    100.0 * mm_flops / primary["matmul"] / 1e12 / mxu_peak, 2
+                ),
+                "regime_10k": "latency/launch-bound (12MB footprint; the "
+                "matched probe itself runs far below HBM peak at this size)",
                 "probe_us_100k": round(probe_100k * 1e6, 1),
-                "pct_roofline_best_100k": round(
-                    100.0 * probe_100k / min(scale.values()), 1
+                "pct_matched_probe_best_100k": round(
+                    100.0 * probe_100k / dt100k, 1
+                ),
+                "pct_hbm_spec_peak_best_100k": round(
+                    100.0 * (3 * 100_000 * T * 4) / dt100k / 1e9 / hbm_peak, 1
                 ),
             },
             "generic_path": {
                 "sweep_device_us": round(generic_dt * 1e6, 1),
                 "chain_lowered_to_scan": generic_lowered,
+                "ratio_vs_scan": round(generic_dt / primary["scan"], 2),
                 "ratio_vs_best_handwritten": round(generic_dt / dt, 2),
+                "gap_decomposition": "ratio_vs_scan is executor overhead on "
+                "the same O(T) algorithm; the remaining gap to the matmul "
+                "path is algorithmic (affine-in-y (R,T)x(T,T) operator, "
+                "O(T^2)/replica, scalar-LGSSM-specific; see "
+                "docs/benchmarks.md for the measured T-crossover)",
             },
+            "ladder": ladder,
             "methodology": "K serialized sweeps per jit call (fori_loop, "
             "output-fed), time-salted inputs, scalar fetch; amortizes the "
             "~80us enqueue-ack and ~24ms fetch RPC of the remote TPU tunnel",
+            "erratum_r01": "BENCH_r01 numbers (35 GUPS headline) were remote-"
+            "execution-cache artifacts (~7x inflated); r02+ use this "
+            "cache-defeating methodology and supersede them",
             "baseline": "dynamic per-signal reactive engine (reference architecture), msg_updates/s",
             "baseline_value": round(baseline_updates_per_s, 1),
         },

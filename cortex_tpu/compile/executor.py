@@ -95,11 +95,14 @@ def materialize(value: Any) -> Any:
 
 
 def smart_stack(values: Sequence[Any]) -> Any:
-    """:func:`tree_stack` that recognizes rows of one pack.
+    """:func:`tree_stack` that recognizes rows of packs.
 
     If every element is a :class:`PackRef` into the SAME pack, emit either the
     pack itself (rows ``0..n-1`` in order — zero-cost) or one fancy-index
-    gather; otherwise materialize each element and stack.
+    gather.  If the elements span SEVERAL structurally-identical packs (e.g. a
+    marginal family computed by two rule groups: chain interior + endpoints),
+    emit one concatenate + one gather — O(num_packs) HLO ops, not one slice
+    per element.  Otherwise materialize each element and stack.
     """
     first = values[0] if values else None
     if isinstance(first, PackRef) and all(
@@ -110,6 +113,27 @@ def smart_stack(values: Sequence[Any]) -> Any:
             return first.pack
         idx_arr = jnp.asarray(idx)
         return jax.tree_util.tree_map(lambda a: a[idx_arr], first.pack)
+    if isinstance(first, PackRef) and all(isinstance(v, PackRef) for v in values):
+        packs: List[Any] = []
+        offset: Dict[int, int] = {}
+        total = 0
+        for v in values:
+            if id(v.pack) not in offset:
+                offset[id(v.pack)] = total
+                packs.append(v.pack)
+                total += v.length
+        structs = {jax.tree_util.tree_structure(p) for p in packs}
+        if len(structs) == 1:
+            try:
+                big = jax.tree_util.tree_map(
+                    lambda *ls: jnp.concatenate(ls, axis=0), *packs
+                )
+                idx_arr = jnp.asarray(
+                    [offset[id(v.pack)] + v.index for v in values]
+                )
+                return jax.tree_util.tree_map(lambda a: a[idx_arr], big)
+            except (ValueError, TypeError):
+                pass  # leaf shapes differ beyond axis 0 — slow path below
     return tree_stack([materialize(v) for v in values])
 
 

@@ -28,7 +28,12 @@ from .gpc import GPClassifier, GPCPosterior
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
-from .lgssm_graph import LGSSMChainBatched, make_chain_graph
+from .lgssm_graph import (
+    LGSSMChainBatched,
+    LGSSMChainDynamic,
+    ScalarNormal,
+    make_chain_graph,
+)
 from .mv_lgssm import MvLGSSM
 from .nlssm import NLSSMBeliefs, NonlinearSSM
 from .particle import ParticleFilterResult, particle_filter, systematic_resample
@@ -40,6 +45,8 @@ from .slds import SLDS, SLDSBeliefs
 __all__ = [
     "LGSSM",
     "LGSSMChainBatched",
+    "LGSSMChainDynamic",
+    "ScalarNormal",
     "make_chain_graph",
     "BOCPD",
     "BOCPDResult",

@@ -18,12 +18,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..compile import BatchedProcessor
-from ..core.engine import InferenceEngine
+from ..core.engine import InferenceEngine, InferenceRequestProcessor
 from ..core.graph import BipartiteFactorGraph
 from ..core.model_engine import Connection, Factor, Variable
 from ..dists import from_mean_variance
 
-__all__ = ["LGSSMChainBatched", "make_chain_graph"]
+__all__ = [
+    "LGSSMChainBatched",
+    "LGSSMChainDynamic",
+    "ScalarNormal",
+    "make_chain_graph",
+]
 
 
 class LGSSMChainBatched(BatchedProcessor):
@@ -43,7 +48,50 @@ class LGSSMChainBatched(BatchedProcessor):
         raise RuntimeError(f"Unknown functional form: {form}")
 
 
-def make_chain_graph(n: int):
+class ScalarNormal:
+    """Pure-Python scalar Gaussian (mean/variance) for the dynamic-engine
+    path — the package's stand-in for the reference's ``NormalMeanVariance``
+    test distribution (``test/runtests.jl:17-101``)."""
+
+    __slots__ = ("mean", "variance")
+
+    def __init__(self, mean: float, variance: float) -> None:
+        self.mean = mean
+        self.variance = variance
+
+    def __mul__(self, other: "ScalarNormal") -> "ScalarNormal":
+        # Information-form product (test/runtests.jl:40-46).
+        w = 1.0 / self.variance + 1.0 / other.variance
+        xi = self.mean / self.variance + other.mean / other.variance
+        return ScalarNormal(xi / w, 1.0 / w)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"ScalarNormal(mean={self.mean}, variance={self.variance})"
+
+
+class LGSSMChainDynamic(InferenceRequestProcessor):
+    """Scalar per-signal rules for the dynamic reactive engine on the chain
+    graph — the reference-architecture baseline the compiled path is judged
+    against (dynamic rule dispatch: ``src/inference_engine.jl:479-509``)."""
+
+    def compute_message_to_variable(self, engine, variant, signal, dependencies):
+        value = dependencies[0].get_value()
+        if isinstance(value, (int, float)):
+            return ScalarNormal(float(value), 1.0)  # likelihood lift
+        return ScalarNormal(value.mean, value.variance + 1.0)  # transition
+
+    def _product(self, engine, variant, signal, dependencies):
+        out = dependencies[0].get_value()
+        for d in dependencies[1:]:
+            out = out * d.get_value()
+        return out
+
+    compute_individual_marginal = _product
+    compute_product_of_messages = _product
+    compute_message_to_factor = _product
+
+
+def make_chain_graph(n: int, processor: InferenceRequestProcessor = None):
     """Build the n-step chain SSM factor graph: latent ``x_0..x_{n-1}``,
     observed ``y_i — likelihood_i — x_i``, transitions ``x_i — x_{i+1}``
     (reference model builder: ``test/inference_engine_tests.jl:436-462``).
@@ -67,5 +115,7 @@ def make_chain_graph(n: int):
     for i in range(n - 1):
         g.add_edge(x[i], transition[i], Connection(label="out"))
         g.add_edge(x[i + 1], transition[i], Connection(label="in"))
-    engine = InferenceEngine(model_engine=g)
+    engine = InferenceEngine(
+        model_engine=g, inference_request_processor=processor
+    )
     return engine, x, y, likelihood

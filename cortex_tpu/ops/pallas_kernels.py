@@ -114,6 +114,13 @@ def lgssm_smooth_pallas(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     n, T = y.shape
+    # VMEM budget guard: the kernel holds 8 T×tile f32 buffers per grid step
+    # (3 in/out blocks + 5 scratch).  Auto-halve the tile until the footprint
+    # fits a conservative 12 MB VMEM budget (chip VMEM is 16 MB), so large T
+    # can't compile to a VMEM OOM (ADVICE r2 medium item).
+    vmem_budget = 12 * 1024 * 1024
+    while tile > 128 and 8 * T * tile * jnp.dtype(y.dtype).itemsize > vmem_budget:
+        tile //= 2
     pad = (-n) % tile
     if pad:
         y = jnp.concatenate([y, jnp.ones((pad, T), y.dtype)], axis=0)

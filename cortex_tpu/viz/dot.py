@@ -2,11 +2,13 @@
 
 from __future__ import annotations
 
-from typing import Dict, List
+import shutil
+import subprocess
+from typing import Callable, Dict, List, Optional
 
 from ..core.signal import Signal, UNDEF_VARIANT
 
-__all__ = ["signal_to_dot", "schedule_to_dot"]
+__all__ = ["signal_to_dot", "render_dot", "render_signal", "schedule_to_dot"]
 
 # State colors mirror the reference (ext/GraphVizExt/GraphVizExt.jl:6-14).
 _COLOR_COMPUTED = "lightyellow"
@@ -22,23 +24,33 @@ def _node_color(s: Signal) -> str:
     return _COLOR_UNDEF
 
 
-def _node_label(s: Signal) -> str:
+def _default_variant_str(variant) -> str:
+    parts = [type(variant).__name__]
+    fields = getattr(variant, "__dataclass_fields__", None)
+    if fields:
+        vals = ", ".join(f"{name}={getattr(variant, name)!r}" for name in fields)
+        parts.append(f"({vals})")
+    return "".join(parts)
+
+
+def _node_label(
+    s: Signal,
+    show_value: bool = True,
+    show_variant: bool = True,
+    variant_to_string_fn: Optional[Callable] = None,
+) -> str:
     parts = []
-    if s.variant is not UNDEF_VARIANT:
-        parts.append(type(s.variant).__name__)
-        fields = getattr(s.variant, "__dataclass_fields__", None)
-        if fields:
-            vals = ", ".join(
-                f"{name}={getattr(s.variant, name)!r}" for name in fields
-            )
-            parts.append(f"({vals})")
-    if s.is_computed():
-        v = repr(s.get_value())
-        if len(v) > 30:
-            v = v[:27] + "..."
-        parts.append(f"= {v}")
-    else:
-        parts.append("#undef")
+    if show_variant and s.variant is not UNDEF_VARIANT:
+        to_str = variant_to_string_fn or _default_variant_str
+        parts.append(str(to_str(s.variant)))
+    if show_value:
+        if s.is_computed():
+            v = repr(s.get_value())
+            if len(v) > 30:
+                v = v[:27] + "..."
+            parts.append(f"= {v}")
+        else:
+            parts.append("#undef")
     return "\\n".join(parts) if parts else "Signal"
 
 
@@ -49,12 +61,23 @@ def signal_to_dot(
     max_dependencies: int = 8,
     max_listeners: int = 4,
     include_listeners: bool = True,
+    show_value: bool = True,
+    show_variant: bool = True,
+    show_listeners: Optional[bool] = None,
+    variant_to_string_fn: Optional[Callable] = None,
 ) -> str:
     """Render ``signal``'s dependency/listener neighborhood as a DOT digraph.
 
     Edge styles follow the reference (``ext/GraphVizExt/GraphVizExt.jl:
-    17-39``): weak → dashed, intermediate → gray, fresh → blue.
+    17-39``): weak → dashed, intermediate → gray, fresh → blue.  Display
+    knobs mirror ``GraphViz.load``'s keyword surface
+    (``ext/GraphVizExt/GraphVizExt.jl:293-310``): ``show_value`` /
+    ``show_variant`` toggle label content, ``show_listeners`` toggles the
+    listener edges (alias of ``include_listeners``), and
+    ``variant_to_string_fn`` customizes variant formatting.
     """
+    if show_listeners is not None:
+        include_listeners = show_listeners
     ids: Dict[int, str] = {}
     lines: List[str] = [
         "digraph Signals {",
@@ -67,8 +90,9 @@ def signal_to_dot(
         if id(s) not in ids:
             ids[id(s)] = f"s{counter[0]}"
             counter[0] += 1
+            label = _node_label(s, show_value, show_variant, variant_to_string_fn)
             lines.append(
-                f'  {ids[id(s)]} [label="{_node_label(s)}", '
+                f'  {ids[id(s)]} [label="{label}", '
                 f'fillcolor={_node_color(s)}];'
             )
         return ids[id(s)]
@@ -119,6 +143,37 @@ def signal_to_dot(
     walk(signal, 0)
     lines.append("}")
     return "\n".join(lines)
+
+
+def render_dot(dot: str, format: str = "svg") -> bytes:
+    """Render a DOT string through the ``dot`` engine — the analogue of the
+    reference's ``GraphViz.Graph`` + ``layout!(engine="dot")`` step
+    (``ext/GraphVizExt/GraphVizExt.jl:339-341``).
+
+    Requires the graphviz ``dot`` binary on PATH; raises ``RuntimeError``
+    with a clear message when it is absent (the pure-DOT strings remain
+    available without it).
+    """
+    exe = shutil.which("dot")
+    if exe is None:
+        raise RuntimeError(
+            "graphviz 'dot' binary not found on PATH; install graphviz or "
+            "use the DOT string directly (signal_to_dot/schedule_to_dot)."
+        )
+    proc = subprocess.run(
+        [exe, f"-T{format}"],
+        input=dot.encode(),
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"dot failed: {proc.stderr.decode()[:500]}")
+    return proc.stdout
+
+
+def render_signal(signal: Signal, format: str = "svg", **kwargs) -> bytes:
+    """:func:`signal_to_dot` + :func:`render_dot` in one call."""
+    return render_dot(signal_to_dot(signal, **kwargs), format=format)
 
 
 def schedule_to_dot(schedule) -> str:

@@ -79,6 +79,57 @@ def test_dot_depth_bounded():
     assert dot.count("[label=") <= 4
 
 
+def test_dot_display_knobs():
+    """show_value / show_variant / show_listeners / variant_to_string_fn
+    mirror the reference's GraphViz.load kwargs
+    (ext/GraphVizExt/GraphVizExt.jl:293-310)."""
+    g = BipartiteFactorGraph()
+    v = g.add_variable(Variable(name="v"))
+    f = g.add_factor(Factor(functional_form="prior"))
+    g.add_edge(v, f, Connection(label="out"))
+    engine = InferenceEngine(model_engine=g)
+    marginal = engine.get_variable_marginal(v)
+
+    assert "IndividualMarginal" not in signal_to_dot(marginal, show_variant=False)
+    assert "#undef" not in signal_to_dot(marginal, show_value=False)
+    custom = signal_to_dot(
+        marginal, variant_to_string_fn=lambda var: f"V<{type(var).__name__}>"
+    )
+    assert "V<IndividualMarginal>" in custom
+
+    msg = engine.get_message_to_variable(v, f)
+    with_l = signal_to_dot(msg, show_listeners=True)
+    without_l = signal_to_dot(msg, show_listeners=False)
+    assert with_l.count("[label=") > without_l.count("[label=")
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("dot") is None,
+    reason="graphviz 'dot' binary not installed",
+)
+def test_render_signal_svg():
+    """Rendered-output parity with the reference's SVG-content assertions
+    (test/ext/graph_viz_ext_tests.jl); skipped when dot is absent."""
+    from cortex_tpu.viz import render_signal
+
+    s1 = Signal(1)
+    pending = Signal()
+    pending.add_dependency(s1)
+    svg = render_signal(pending, format="svg").decode()
+    assert "<svg" in svg
+    assert "lightblue" in svg
+
+
+def test_render_dot_clear_error_without_binary(monkeypatch):
+    import shutil as _shutil
+
+    from cortex_tpu.viz import render_dot
+
+    monkeypatch.setattr(_shutil, "which", lambda name: None)
+    with pytest.raises(RuntimeError, match="dot"):
+        render_dot("digraph G {}")
+
+
 # -- schedule_to_dot --------------------------------------------------------
 
 
