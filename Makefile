@@ -1,7 +1,7 @@
 # Developer targets (parity with the reference's Makefile: test / benchmark /
 # format / docs).
 
-.PHONY: test test-fast lint bench bench-save bench-judge native clean docs tpu-check
+.PHONY: test test-fast lint bench bench-save bench-judge native clean docs tpu-check crossover precision compiler-scale
 
 test:
 	python -m pytest tests/ -q
@@ -16,6 +16,18 @@ lint:
 # real TPU; writes TPU_CHECK.json (VERDICT r1 item 7).
 tpu-check:
 	python benchmarks/tpu_check.py
+
+# Chain-length crossover (matmul vs scan vs pallas); writes CROSSOVER.json.
+crossover:
+	python benchmarks/crossover_bench.py
+
+# f32-vs-bf16 study; writes docs/precision_results.json.
+precision:
+	python benchmarks/precision_bench.py
+
+# Front-end scale (build/extract/lower/jit to 10^5 signals); prints JSON rows.
+compiler-scale:
+	python benchmarks/compiler_scale_bench.py --full
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not parallel and not chains_mv"

@@ -115,14 +115,17 @@ def bench_generic_compiled(R, K):
     engine, x, y, likelihood = make_chain_graph(T)
     compiled = CompiledInference(engine, x, LGSSMChainBatched())
     vid_to_obs = {yv: i for i, yv in enumerate(y)}
-    perm = jnp.asarray([vid_to_obs[k[1]] for k in compiled.source_keys()])
+    perm_list = [vid_to_obs[k[1]] for k in compiled.source_keys()]
+    # Sources are variant-sorted (schedule._variant_order_key), so for the
+    # chain the permutation is the identity and the pack feeds straight in.
+    identity = perm_list == list(range(T))
+    perm = jnp.asarray(perm_list)
     y0 = _make_data(R)
 
     def fn(data):
         # data: (R, T) -> source pack (T, R), row i = sources[i]'s value.
-        marginals, _ = compiled.run(
-            {}, source_pack=data.T[perm], packed=True
-        )
+        pack = data.T if identity else data.T[perm]
+        marginals, _ = compiled.run({}, source_pack=pack, packed=True)
         fam = smart_stack([marginals[xi] for xi in x])  # (T, R) Gaussian
         return fam.mean, fam.variance
 

@@ -22,9 +22,12 @@ Usage: python benchmarks/compiler_scale_bench.py [--full]
 """
 
 import json
+import pathlib
 import random as pyrandom
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _time(f):

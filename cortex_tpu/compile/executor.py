@@ -106,25 +106,64 @@ def smart_stack(values: Sequence[Any]) -> Any:
     """
     first = values[0] if values else None
     if isinstance(first, PackRef) and all(
-        isinstance(v, PackRef) and v.pack is first.pack for v in values
+        isinstance(v, PackRef) for v in values
     ):
-        idx = [v.index for v in values]
-        if len(idx) == first.length and idx == list(range(first.length)):
-            return first.pack
-        idx_arr = jnp.asarray(idx)
-        return jax.tree_util.tree_map(lambda a: a[idx_arr], first.pack)
-    if isinstance(first, PackRef) and all(isinstance(v, PackRef) for v in values):
-        packs: List[Any] = []
-        offset: Dict[int, int] = {}
-        total = 0
+        one_pack = all(v.pack is first.pack for v in values)
+        if one_pack:
+            idx = [v.index for v in values]
+            if len(idx) == first.length and idx == list(range(first.length)):
+                return first.pack
+        # Maximal runs of consecutive rows (ascending or descending) within
+        # one pack: when the whole request is a handful of runs, emit
+        # slice/reverse + one concatenate — cheap, fusible HLO — instead of
+        # a gather.  Deterministic group ordering (schedule._variant_order_key)
+        # makes this the common case for chain models.
+        runs: List[List[Any]] = []  # [pack, start, stop, direction]
         for v in values:
-            if id(v.pack) not in offset:
-                offset[id(v.pack)] = total
-                packs.append(v.pack)
-                total += v.length
-        structs = {jax.tree_util.tree_structure(p) for p in packs}
-        if len(structs) == 1:
-            try:
+            if runs and runs[-1][0] is v.pack:
+                p, a, b, d = runs[-1]
+                if d in (0, 1) and v.index == b + 1:
+                    runs[-1][2], runs[-1][3] = v.index, 1
+                    continue
+                if d in (0, -1) and v.index == b - 1:
+                    runs[-1][2], runs[-1][3] = v.index, -1
+                    continue
+            runs.append([v.pack, v.index, v.index, 0])
+        try:
+            if len(runs) <= max(2, len(values) // 8):
+                parts = []
+                for p, a, b, d in runs:
+                    if d >= 0:
+                        parts.append(
+                            jax.tree_util.tree_map(lambda x: x[a : b + 1], p)
+                        )
+                    else:
+                        parts.append(
+                            jax.tree_util.tree_map(
+                                lambda x: jnp.flip(x[b : a + 1], 0), p
+                            )
+                        )
+                if len(parts) == 1:
+                    return parts[0]
+                return jax.tree_util.tree_map(
+                    lambda *ls: jnp.concatenate(ls, axis=0), *parts
+                )
+            if one_pack:
+                idx_arr = jnp.asarray([v.index for v in values])
+                return jax.tree_util.tree_map(
+                    lambda a: a[idx_arr], first.pack
+                )
+            # Cross-pack scatter: one concatenate + one gather.
+            packs: List[Any] = []
+            offset: Dict[int, int] = {}
+            total = 0
+            for v in values:
+                if id(v.pack) not in offset:
+                    offset[id(v.pack)] = total
+                    packs.append(v.pack)
+                    total += v.length
+            structs = {jax.tree_util.tree_structure(p) for p in packs}
+            if len(structs) == 1:
                 big = jax.tree_util.tree_map(
                     lambda *ls: jnp.concatenate(ls, axis=0), *packs
                 )
@@ -132,8 +171,8 @@ def smart_stack(values: Sequence[Any]) -> Any:
                     [offset[id(v.pack)] + v.index for v in values]
                 )
                 return jax.tree_util.tree_map(lambda a: a[idx_arr], big)
-            except (ValueError, TypeError):
-                pass  # leaf shapes differ beyond axis 0 — slow path below
+        except (ValueError, TypeError):
+            pass  # heterogeneous row structures — slow path below
     return tree_stack([materialize(v) for v in values])
 
 

@@ -42,7 +42,12 @@ import dataclasses
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Tuple
 
-from .schedule import ComputeStep, PhaseGroup, StaticSchedule
+from .schedule import (
+    ComputeStep,
+    PhaseGroup,
+    StaticSchedule,
+    _variant_order_key as _order_key,
+)
 
 __all__ = ["ScanClass", "ScanSegment", "LoweredPlan", "lower_schedule"]
 
@@ -597,8 +602,19 @@ def _build_plan(
             else:
                 rest_here.setdefault(key_of[n[1]], []).append(steps_by_id[n[1]])
         if rest_here:
+            # Variant-sorted step order (schedule._variant_order_key): keeps
+            # pack rows in model order so downstream smart_stack consumption
+            # lowers to slices/reverses instead of gathers.
             out_segments.append(
-                ("phase", [PhaseGroup(k, sts) for k, sts in rest_here.items()])
+                (
+                    "phase",
+                    [
+                        PhaseGroup(
+                            k, sorted(sts, key=lambda st: _order_key(st.signal))
+                        )
+                        for k, sts in rest_here.items()
+                    ],
+                )
             )
         for si in sorted(scans_here):
             out_segments.append(("scan", segments[si]))

@@ -81,6 +81,24 @@ class StaticSchedule:
         return "\n".join(lines)
 
 
+def _variant_order_key(signal: Signal):
+    """Deterministic within-group/source ordering: (kind rank, variable id,
+    factor id).  Chain models built in time order thus get packs whose rows
+    follow the chain — downstream `smart_stack` consumption lowers to
+    slices/reverses instead of gathers (HBM-traffic-free after XLA fusion),
+    and `source_pack` rows follow model order instead of traversal order."""
+    v = signal.variant
+    if isinstance(v, (V.MessageToFactor, V.MessageToVariable)):
+        return (0, v.variable_id, v.factor_id)
+    if isinstance(v, V.IndividualMarginal):
+        return (1, v.variable_id, -1)
+    if isinstance(v, V.ProductOfMessages):
+        return (2, v.variable_id, tuple(v.range))
+    if isinstance(v, V.JointMarginal):
+        return (3, v.factor_id, tuple(v.variable_ids))
+    return (4, 0, 0)
+
+
 def _rule_key(engine: InferenceEngine, signal: Signal) -> Tuple[str, Optional[Any], int]:
     variant = signal.variant
     kind = type(variant).__name__
@@ -355,14 +373,17 @@ def extract_schedule(
         if s.is_computed() and treat_computed_as_sources and id(s) not in seen_init:
             seen_init.add(id(s))
             initials.append(s)
-    sources = [known[i] for i in source_ids]
+    initials.sort(key=_variant_order_key)
+    sources = sorted(
+        (known[i] for i in source_ids), key=_variant_order_key
+    )
 
     # -- bucket into phases and rule-key groups ----------------------------
     nphases = 1 + max((phase_of[id(s)] for s in computable), default=-1)
     phase_groups: List[Dict[Any, List[ComputeStep]]] = [
         defaultdict(list) for _ in range(nphases)
     ]
-    for s in computable:
+    for s in sorted(computable, key=_variant_order_key):
         deps = s.get_dependencies()
         weak_mask = tuple(s.dep_is_weak(i) for i in range(len(deps)))
         key = _rule_key(engine, s)
