@@ -8,9 +8,12 @@ test:
 
 # Static-analysis gate (the reference's Aqua/JET analogue,
 # test/runtests.jl:103-110): undefined names, unused imports, __all__
-# hygiene.  Zero findings required; also enforced by tests/test_lint.py.
+# hygiene (lint.py) + call-signature/annotation checking against runtime
+# signatures (typecheck.py).  Zero findings required; also enforced by
+# tests/test_lint.py and tests/test_typecheck.py.
 lint:
 	python tools/lint.py
+	python tools/typecheck.py
 
 # On-chip artifact: pallas-vs-scan parity + AOT export + serving smoke on the
 # real TPU; writes TPU_CHECK.json (VERDICT r1 item 7).

@@ -200,11 +200,11 @@ def main():
             rows.append(row)
             print(json.dumps(row), flush=True)
 
-    print(
-        json.dumps(
-            {"metric": "compiler_scale", "platform": "cpu", "results": rows}
-        )
-    )
+    out = {"metric": "compiler_scale", "platform": "cpu", "results": rows}
+    print(json.dumps(out))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    (repo / "COMPILER_SCALE.json").write_text(json.dumps(out, indent=1))
+    print(f"-> {repo / 'COMPILER_SCALE.json'}", file=sys.stderr)
 
 
 if __name__ == "__main__":

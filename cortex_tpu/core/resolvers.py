@@ -114,8 +114,17 @@ class BeliefPropagationResolver(DependencyResolver):
         left_range = (0, middle)
         right_range = (middle, nfactors)
 
-        left_dep = _form_segment_tree(engine, left_range, factor_ids, variable_id)
-        right_dep = _form_segment_tree(engine, right_range, factor_ids, variable_id)
+        # One shared tuple for every ProductOfMessages variant below: building
+        # it per tree node would copy the full factor list at each of the
+        # ~2n nodes — O(n^2) for high-degree variables (measured as a 300s
+        # build at a 50k-degree star in benchmarks/compiler_scale_bench.py).
+        factors_tuple = tuple(factor_ids)
+        left_dep = _form_segment_tree(
+            engine, left_range, factor_ids, variable_id, factors_tuple
+        )
+        right_dep = _form_segment_tree(
+            engine, right_range, factor_ids, variable_id, factors_tuple
+        )
 
         for left_factor in factor_ids[left_range[0] : left_range[1]]:
             message_to_left = engine.get_message_to_factor(variable_id, left_factor)
@@ -132,7 +141,11 @@ class BeliefPropagationResolver(DependencyResolver):
 
 
 def _form_segment_tree(
-    engine, rng: tuple, factor_ids: Sequence[int], variable_id: int
+    engine,
+    rng: tuple,
+    factor_ids: Sequence[int],
+    variable_id: int,
+    factors_tuple: tuple,
 ) -> Signal:
     """Build a balanced binary tree of ``ProductOfMessages`` intermediates over
     ``factor_ids[rng[0]:rng[1]]`` (reference ``src/dependencies.jl:128-173``).
@@ -151,8 +164,12 @@ def _form_segment_tree(
     left_range = (start, middle)
     right_range = (middle, stop)
 
-    left_dep = _form_segment_tree(engine, left_range, factor_ids, variable_id)
-    right_dep = _form_segment_tree(engine, right_range, factor_ids, variable_id)
+    left_dep = _form_segment_tree(
+        engine, left_range, factor_ids, variable_id, factors_tuple
+    )
+    right_dep = _form_segment_tree(
+        engine, right_range, factor_ids, variable_id, factors_tuple
+    )
 
     for left_factor in factor_ids[left_range[0] : left_range[1]]:
         message_to_left = engine.get_message_to_factor(variable_id, left_factor)
@@ -166,7 +183,7 @@ def _form_segment_tree(
 
     intermediate = left_dep.new_sibling()
     intermediate.set_variant(
-        V.ProductOfMessages(variable_id, (start, stop), tuple(factor_ids))
+        V.ProductOfMessages(variable_id, (start, stop), factors_tuple)
     )
     intermediate.add_dependency(left_dep, intermediate=True)
     intermediate.add_dependency(right_dep, intermediate=True)
