@@ -119,6 +119,9 @@ def lgssm_smooth_pallas(
     # fits a conservative 12 MB VMEM budget (chip VMEM is 16 MB), so large T
     # can't compile to a VMEM OOM (ADVICE r2 medium item).
     vmem_budget = 12 * 1024 * 1024
+    # Lane alignment: replica tiles must be multiples of the 128-wide lane
+    # dimension (Mosaic rejects e.g. tile=625); round down before shrinking.
+    tile = max(128, (tile // 128) * 128)
     while tile > 128 and 8 * T * tile * jnp.dtype(y.dtype).itemsize > vmem_budget:
         tile //= 2
     pad = (-n) % tile
