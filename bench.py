@@ -41,11 +41,39 @@ path over per-edge dynamic message passing.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 T = 100
+
+
+def _section(name, fn, *args, retries=1, **kwargs):
+    """Run one bench section with wall-time logging and retry-on-flake.
+
+    The remote TPU tunnel can drop mid-run (observed: UNAVAILABLE
+    /remote_compile broken pipe) — one section's flake must not zero the
+    whole artifact.  Returns ``fn(*args)`` or ``{"error": ...}``."""
+    for attempt in range(retries + 1):
+        t0 = time.perf_counter()
+        try:
+            out = fn(*args, **kwargs)
+            print(
+                f"[bench] {name}: {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            return out
+        except Exception as e:  # pragma: no cover - infra-dependent
+            print(
+                f"[bench] {name} attempt {attempt + 1} failed after "
+                f"{time.perf_counter() - t0:.1f}s: {type(e).__name__}: {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            err = f"{type(e).__name__}: {e}"
+    return {"error": err}
 
 
 def _serial_sweep_time(fn, y0, K):
@@ -327,30 +355,67 @@ def bench_ladder(peaks, K=40):
 
 
 def main():
-    peaks = bench_hw_peaks()
     replicas = 10_000
-    primary = bench_paths(replicas, K=400)
-    scale = bench_paths(100_000, K=100)
-    generic_dt, generic_lowered = bench_generic_compiled(replicas, K=200)
-    ladder = bench_ladder(peaks)
+    peaks = _section("hw_peaks", bench_hw_peaks)
+    if "error" in peaks:
+        peaks = {"device_kind": "unknown", **peaks}
+    primary = _section("paths_10k", bench_paths, replicas, 400, retries=2)
+    if "error" in primary:
+        # Primary metric is non-negotiable: emit an explicit failure line
+        # rather than dying with a traceback mid-artifact.
+        print(
+            json.dumps(
+                {
+                    "metric": "lgssm_10k_replica_message_updates_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "msg_updates/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": primary["error"], "hardware": peaks},
+                }
+            )
+        )
+        return
+    scale = _section("paths_100k", bench_paths, 100_000, 100, retries=1)
+    generic = _section(
+        "generic_compiled", bench_generic_compiled, replicas, 200, retries=1
+    )
+    if isinstance(generic, dict):
+        generic_dt, generic_lowered = None, False
+    else:
+        generic_dt, generic_lowered = generic
+    ladder = _section("ladder", bench_ladder, peaks, retries=1)
 
     probe = primary.pop("probe")
-    probe_100k = scale.pop("probe")
+    scale_failed = "error" in scale
+    if scale_failed:
+        scale = dict(primary)  # shape-compatible placeholder, flagged below
+    probe_100k = scale.pop("probe", probe)
     best = min(primary, key=primary.get)
     dt = primary[best]
     updates_per_sweep = replicas * (3 * T - 2)
     updates_per_s = updates_per_sweep / dt
     baseline_updates_per_s = bench_dynamic_engine(T)
 
-    hbm_peak = peaks.get("spec_hbm_GBps") or peaks["measured_hbm_probe_GBps"]
+    hbm_peak = (
+        peaks.get("spec_hbm_GBps")
+        or peaks.get("measured_hbm_probe_GBps")
+        or KNOWN_PEAKS["TPU v5 lite"]["hbm_GBps"]
+    )
     mxu_peak = (
-        peaks.get("spec_bf16_tflops") or peaks["measured_mxu_probe_bf16_tflops"]
+        peaks.get("spec_bf16_tflops")
+        or peaks.get("measured_mxu_probe_bf16_tflops")
+        or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
     )
     # MFU for the matmul path (XLA-counted FLOPs for the (R,T)x(T,T) form).
-    from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
+    try:
+        from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
 
-    op = lgssm_smoother_operator(T)
-    mm_flops = _flops_of(lambda y: lgssm_smooth_matmul(y, operator=op), _make_data(replicas))
+        op = lgssm_smoother_operator(T)
+        mm_flops = _flops_of(
+            lambda y: lgssm_smooth_matmul(y, operator=op), _make_data(replicas)
+        )
+    except Exception:  # pragma: no cover - infra-dependent
+        mm_flops = 0.0
     bytes_per_sweep = 3 * replicas * T * 4  # read y once, write mean+var
     dt100k = min(scale.values())
     result = {
@@ -364,9 +429,11 @@ def main():
             "best_path": best,
             "sweeps_per_sec": round(1.0 / dt, 2),
             "sweep_device_us": {k: round(v * 1e6, 1) for k, v in primary.items()},
-            "sweep_device_us_100k_replicas": {
-                k: round(v * 1e6, 1) for k, v in scale.items()
-            },
+            "sweep_device_us_100k_replicas": (
+                {"error": "100k section failed; see stderr"}
+                if scale_failed
+                else {k: round(v * 1e6, 1) for k, v in scale.items()}
+            ),
             "msg_updates_per_s_100k_replicas": round(
                 100_000 * (3 * T - 2) / dt100k, 1
             ),
@@ -392,17 +459,21 @@ def main():
                     100.0 * (3 * 100_000 * T * 4) / dt100k / 1e9 / hbm_peak, 1
                 ),
             },
-            "generic_path": {
-                "sweep_device_us": round(generic_dt * 1e6, 1),
-                "chain_lowered_to_scan": generic_lowered,
-                "ratio_vs_scan": round(generic_dt / primary["scan"], 2),
-                "ratio_vs_best_handwritten": round(generic_dt / dt, 2),
-                "gap_decomposition": "ratio_vs_scan is executor overhead on "
-                "the same O(T) algorithm; the remaining gap to the matmul "
-                "path is algorithmic (affine-in-y (R,T)x(T,T) operator, "
-                "O(T^2)/replica, scalar-LGSSM-specific; see "
-                "docs/benchmarks.md for the measured T-crossover)",
-            },
+            "generic_path": (
+                {
+                    "sweep_device_us": round(generic_dt * 1e6, 1),
+                    "chain_lowered_to_scan": generic_lowered,
+                    "ratio_vs_scan": round(generic_dt / primary["scan"], 2),
+                    "ratio_vs_best_handwritten": round(generic_dt / dt, 2),
+                    "gap_decomposition": "ratio_vs_scan is executor overhead "
+                    "on the same O(T) algorithm; the remaining gap to the "
+                    "matmul path is algorithmic (affine-in-y (R,T)x(T,T) "
+                    "operator, O(T^2)/replica, scalar-LGSSM-specific; see "
+                    "docs/benchmarks.md for the measured T-crossover)",
+                }
+                if generic_dt is not None
+                else generic
+            ),
             "ladder": ladder,
             "methodology": "K serialized sweeps per jit call (fori_loop, "
             "output-fed), time-salted inputs, scalar fetch; amortizes the "
