@@ -253,10 +253,15 @@ def bench_ladder(peaks, K=40):
 
     from cortex_tpu.models import GMM, HGF, HMM, MvLGSSM
 
-    hbm_peak = peaks.get("spec_hbm_GBps") or peaks["measured_hbm_probe_GBps"]
+    hbm_peak = (
+        peaks.get("spec_hbm_GBps")
+        or peaks.get("measured_hbm_probe_GBps")
+        or KNOWN_PEAKS["TPU v5 lite"]["hbm_GBps"]
+    )
     mxu_peak = (
         peaks.get("spec_bf16_tflops")
-        or peaks["measured_mxu_probe_bf16_tflops"]
+        or peaks.get("measured_mxu_probe_bf16_tflops")
+        or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
     )
     out = {}
 
@@ -388,8 +393,11 @@ def main():
     probe = primary.pop("probe")
     scale_failed = "error" in scale
     if scale_failed:
-        scale = dict(primary)  # shape-compatible placeholder, flagged below
-    probe_100k = scale.pop("probe", probe)
+        scale_err = scale["error"]
+        scale, probe_100k, dt100k = {}, None, None
+    else:
+        probe_100k = scale.pop("probe")
+        dt100k = min(scale.values())
     best = min(primary, key=primary.get)
     dt = primary[best]
     updates_per_sweep = replicas * (3 * T - 2)
@@ -417,7 +425,6 @@ def main():
     except Exception:  # pragma: no cover - infra-dependent
         mm_flops = 0.0
     bytes_per_sweep = 3 * replicas * T * 4  # read y once, write mean+var
-    dt100k = min(scale.values())
     result = {
         "metric": "lgssm_10k_replica_message_updates_per_sec_per_chip",
         "value": round(updates_per_s, 1),
@@ -430,12 +437,14 @@ def main():
             "sweeps_per_sec": round(1.0 / dt, 2),
             "sweep_device_us": {k: round(v * 1e6, 1) for k, v in primary.items()},
             "sweep_device_us_100k_replicas": (
-                {"error": "100k section failed; see stderr"}
+                {"error": scale_err}
                 if scale_failed
                 else {k: round(v * 1e6, 1) for k, v in scale.items()}
             ),
-            "msg_updates_per_s_100k_replicas": round(
-                100_000 * (3 * T - 2) / dt100k, 1
+            "msg_updates_per_s_100k_replicas": (
+                None
+                if scale_failed
+                else round(100_000 * (3 * T - 2) / dt100k, 1)
             ),
             "hardware": peaks,
             "roofline": {
@@ -451,12 +460,21 @@ def main():
                 ),
                 "regime_10k": "latency/launch-bound (12MB footprint; the "
                 "matched probe itself runs far below HBM peak at this size)",
-                "probe_us_100k": round(probe_100k * 1e6, 1),
-                "pct_matched_probe_best_100k": round(
-                    100.0 * probe_100k / dt100k, 1
+                "probe_us_100k": (
+                    None if scale_failed else round(probe_100k * 1e6, 1)
                 ),
-                "pct_hbm_spec_peak_best_100k": round(
-                    100.0 * (3 * 100_000 * T * 4) / dt100k / 1e9 / hbm_peak, 1
+                "pct_matched_probe_best_100k": (
+                    None
+                    if scale_failed
+                    else round(100.0 * probe_100k / dt100k, 1)
+                ),
+                "pct_hbm_spec_peak_best_100k": (
+                    None
+                    if scale_failed
+                    else round(
+                        100.0 * (3 * 100_000 * T * 4) / dt100k / 1e9 / hbm_peak,
+                        1,
+                    )
                 ),
             },
             "generic_path": (

@@ -57,10 +57,10 @@ def main():
                 row["sweep_us"][name] = round(dt * 1e6, 1)
             except Exception as e:  # pragma: no cover - shape/VMEM limits
                 row["sweep_us"][name] = f"error: {type(e).__name__}"
-        best = min(
+        timed = [
             (v, k) for k, v in row["sweep_us"].items() if isinstance(v, float)
-        )
-        row["best"] = best[1]
+        ]
+        row["best"] = min(timed)[1] if timed else None
         rows.append(row)
         print(json.dumps(row), flush=True)
 

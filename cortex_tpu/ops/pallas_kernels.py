@@ -123,7 +123,8 @@ def lgssm_smooth_pallas(
     # dimension (Mosaic rejects e.g. tile=625); round down before shrinking.
     tile = max(128, (tile // 128) * 128)
     while tile > 128 and 8 * T * tile * jnp.dtype(y.dtype).itemsize > vmem_budget:
-        tile //= 2
+        # Halve but stay on the 128-lane grid (384 -> 192 would violate it).
+        tile = max(128, (tile // 2) // 128 * 128)
     pad = (-n) % tile
     if pad:
         y = jnp.concatenate([y, jnp.ones((pad, T), y.dtype)], axis=0)

@@ -165,6 +165,31 @@ def test_locally_rebound_names_are_skipped(scratch_pkg):
     assert findings == []
 
 
+def test_shadowed_self_in_nested_function_is_skipped(scratch_pkg):
+    # A nested function whose OWN parameter is named `self` must not be
+    # resolved through the enclosing class (zero-false-positive stance).
+    findings = _run(
+        scratch_pkg,
+        """
+        class C:
+            def m(self, x):
+                return x
+
+            def caller(self):
+                def cb(self):
+                    return self.m(1, 2)   # unrelated receiver: skip
+                return cb
+
+            def closure_ok(self):
+                def cb():
+                    return self.m(1, 2)   # method's own self: check
+                return cb
+        """,
+    )
+    assert [f[3] for f in findings] == ["call-arity"]
+    assert findings[0][1] > 10  # the closure_ok block, not the cb(self) one
+
+
 def test_star_args_skip_arity(scratch_pkg):
     findings = _run(
         scratch_pkg,

@@ -301,6 +301,13 @@ def _check_call(
     return None
 
 
+def _first_param_is(fn: Optional[ast.AST], name: str) -> bool:
+    if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        return False
+    params = list(fn.args.posonlyargs) + list(fn.args.args)
+    return bool(params) and params[0].arg == name
+
+
 def _iter_py(paths: List[str]) -> Iterator[Path]:
     for p in paths:
         path = Path(p)
@@ -322,14 +329,14 @@ def check_calls(path: Path, module: ModuleType) -> List[Finding]:
     findings: List[Finding] = []
     scope_binds: Dict[int, Set[str]] = {}
 
+    def _binds(s: ast.AST, name: str) -> bool:
+        key = id(s)
+        if key not in scope_binds:
+            scope_binds[key] = _binds_in_scope(s)
+        return name in scope_binds[key]
+
     def locally_bound(name: str, scopes: List[ast.AST]) -> bool:
-        for s in scopes:
-            key = id(s)
-            if key not in scope_binds:
-                scope_binds[key] = _binds_in_scope(s)
-            if name in scope_binds[key]:
-                return True
-        return False
+        return any(_binds(s, name) for s in scopes)
 
     for call, scopes, cls_name in collector.calls:
         func = call.func
@@ -354,8 +361,21 @@ def check_calls(path: Path, module: ModuleType) -> List[Finding]:
                 continue
             base_name, attrs = parts
             if base_name in ("self", "cls") and cls_name is not None:
-                if scopes and not locally_bound(base_name, scopes[:-1]):
-                    pass  # self/cls is the innermost function's param
+                # Resolve through the class ONLY when the name is bound by
+                # the method itself (scopes[0], the class-body-level def) as
+                # its first parameter.  A nested function with its own
+                # `self` parameter shadows the method's — resolving it
+                # through the enclosing class would be a false positive.
+                if not scopes:
+                    continue
+                binder = next(
+                    (s for s in reversed(scopes) if _binds(s, base_name)),
+                    None,
+                )
+                if binder is not scopes[0] or not _first_param_is(
+                    binder, base_name
+                ):
+                    continue
                 cls = getattr(module, cls_name, _MISSING)
                 if not isinstance(cls, type) or len(attrs) != 1:
                     continue
