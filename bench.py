@@ -76,24 +76,31 @@ def _section(name, fn, *args, retries=1, **kwargs):
     return {"error": err}
 
 
-def _serial_sweep_time(fn, y0, K):
-    """Device seconds per fn(y)-sweep: K serialized sweeps in one call."""
+def _serial_sweep_time(fn, y0, K, aux=()):
+    """Device seconds per fn(y, *aux)-sweep: K serialized sweeps per call.
+
+    ``y0`` (and any large operands in ``aux``) are passed as jit ARGUMENTS,
+    not closed over: a closure constant is inlined into the HLO payload
+    shipped through the tunnel's remote_compile endpoint — at probe sizes
+    (1 GB data, 128 MB weights, 164 MB smoother operators) that stalls
+    compilation for minutes and can kill the transport (observed
+    broken-pipe)."""
     import jax
     from jax import lax
 
     @jax.jit
-    def g(s):
+    def g(s, y, aux_args):
         def body(i, acc):
-            out = fn(y0 + (s + acc * 1e-30))
+            out = fn(y + (s + acc * 1e-30), *aux_args)
             leaves = jax.tree_util.tree_leaves(out)
             return acc + sum(x.sum() for x in leaves) * 1e-30
 
         return lax.fori_loop(0, K, body, jax.numpy.float32(0.0))
 
     salt = float(time.time_ns() % 100_000) / 1000.0
-    float(g(salt))  # compile + warm
+    float(g(salt, y0, tuple(aux)))  # compile + warm
     t0 = time.perf_counter()
-    float(g(salt + 0.5))
+    float(g(salt + 0.5, y0, tuple(aux)))
     return (time.perf_counter() - t0) / K
 
 
@@ -117,13 +124,17 @@ def bench_paths(R, K):
     model = LGSSM(A=1.0, Q=1.0, H=1.0, R=1.0)
     op = lgssm_smoother_operator(T)
     y0 = _make_data(R)
+    # The (T,T) operator rides as a jit argument (see _serial_sweep_time).
     paths = {
-        "matmul": lambda y: lgssm_smooth_matmul(y, operator=op),
-        "scan": lambda y: model.smooth(y, method="scan"),
-        "pallas": lambda y: lgssm_smooth_pallas(y, tile=2048),
-        "probe": lambda y: (y * 1.000001, y + 0.5),
+        "matmul": (lambda y, o: lgssm_smooth_matmul(y, operator=o), (op,)),
+        "scan": (lambda y: model.smooth(y, method="scan"), ()),
+        "pallas": (lambda y: lgssm_smooth_pallas(y, tile=2048), ()),
+        "probe": (lambda y: (y * 1.000001, y + 0.5), ()),
     }
-    return {name: _serial_sweep_time(fn, y0, K) for name, fn in paths.items()}
+    return {
+        name: _serial_sweep_time(fn, y0, K, aux=aux)
+        for name, (fn, aux) in paths.items()
+    }
 
 
 def bench_generic_compiled(R, K):
@@ -220,7 +231,9 @@ def bench_hw_peaks():
     key = jax.random.PRNGKey(0)
     w = jax.random.normal(key, (m, m), jnp.bfloat16)
     a = jax.block_until_ready(jax.random.normal(key, (m, m), jnp.float32))
-    dt = _serial_sweep_time(lambda v: v.astype(jnp.bfloat16) @ w, a, 20)
+    dt = _serial_sweep_time(
+        lambda v, ww: v.astype(jnp.bfloat16) @ ww, a, 20, aux=(w,)
+    )
     mxu_probe_tflops = 2 * m**3 / dt / 1e12
     del a, w
     return {
@@ -244,56 +257,41 @@ def _flops_of(fn, *args):
         return 0.0
 
 
-def bench_ladder(peaks, K=40):
-    """On-chip device times for the rest of the BASELINE.md model ladder:
-    HMM+Dirichlet VMP, GMM structured VMP, MvLGSSM (d=4,16; MFU), streaming
-    HGF.  Same serialized-fori_loop methodology as the primary metric."""
-    import jax
+def _ladder_hmm(K, method="scan"):
+    """HMM forward-backward + Dirichlet VMP (pooled, R replicas)."""
     import jax.numpy as jnp
 
-    from cortex_tpu.models import GMM, HGF, HMM, MvLGSSM
+    from cortex_tpu.models import HMM
 
-    hbm_peak = (
-        peaks.get("spec_hbm_GBps")
-        or peaks.get("measured_hbm_probe_GBps")
-        or KNOWN_PEAKS["TPU v5 lite"]["hbm_GBps"]
-    )
-    mxu_peak = (
-        peaks.get("spec_bf16_tflops")
-        or peaks.get("measured_mxu_probe_bf16_tflops")
-        or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
-    )
-    out = {}
-
-    # -- HMM forward-backward + Dirichlet VMP (pooled, R replicas) ---------
     R_, T_, Kh, M = 4096, 64, 4, 8
     hmm = HMM(K=Kh, log_pi=jnp.log(jnp.full(Kh, 1.0 / Kh)))
     base = _make_data(R_)[:, :T_]  # float walks; symbols derived inside
     iters = 4
 
-    def hmm_fn(method):
-        def fn(data):
-            obs = jnp.clip(jnp.abs(data).astype(jnp.int32) % M, 0, M - 1)
-            res = hmm.fit_vmp(
-                obs, M, n_iterations=iters, pooled=True, method=method
-            )
-            return res.state.trans_alpha, res.state.emis_alpha, res.elbo
-        return fn
+    def fn(data):
+        obs = jnp.clip(jnp.abs(data).astype(jnp.int32) % M, 0, M - 1)
+        res = hmm.fit_vmp(
+            obs, M, n_iterations=iters, pooled=True, method=method
+        )
+        return res.state.trans_alpha, res.state.emis_alpha, res.elbo
 
-    hmm_us = {}
-    for method in ("scan", "pallas"):
-        dt = _serial_sweep_time(hmm_fn(method), base, K)
-        hmm_us[method] = round(dt / iters * 1e6, 1)
-    best_dt = min(hmm_us.values()) * 1e-6
-    out["hmm"] = {
+    dt = _serial_sweep_time(fn, base, K) / iters
+    return {
         "replicas": R_, "T": T_, "K": Kh, "M": M,
-        "per_vmp_iter_us": hmm_us,
+        "per_vmp_iter_us": round(dt * 1e6, 1),
         # One VMP iteration touches R*T state marginals + R*(T-1) pairwise
         # counts + R*T emission contributions ≈ 3 updates per step.
-        "msg_updates_per_s": round(R_ * T_ * 3 / best_dt, 1),
+        "msg_updates_per_s": round(R_ * T_ * 3 / dt, 1),
     }
 
-    # -- GMM structured VMP (R independent replicas) -----------------------
+
+def _ladder_gmm(K):
+    """GMM structured VMP (R independent replicas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import GMM
+
     Rg, N, D, Kg = 256, 256, 2, 4
     key = jax.random.PRNGKey(1)
     xg = jax.block_until_ready(
@@ -308,14 +306,21 @@ def bench_ladder(peaks, K=40):
         return res.posterior.m, res.posterior.alpha, res.free_energy
 
     dt = _serial_sweep_time(gmm_fn, xg, K) / giters
-    out["gmm"] = {
+    return {
         "replicas": Rg, "N": N, "D": D, "K": Kg,
         "per_vmp_iter_us": round(dt * 1e6, 1),
         "resp_updates_per_s": round(Rg * N * Kg / dt, 1),
     }
 
-    # -- MvLGSSM smoothing (MXU path; MFU against bf16 spec peak) ----------
-    out["mv_lgssm"] = {}
+
+def _ladder_mv(K, mxu_peak):
+    """MvLGSSM smoothing (MXU path; MFU against bf16 spec peak)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import MvLGSSM
+
+    out = {}
     for d, Rm in ((4, 4096), (16, 1024)):
         m = MvLGSSM.from_arrays(
             A=0.9 * np.eye(d), Q=np.eye(d), H=np.eye(d), R=np.eye(d),
@@ -328,15 +333,23 @@ def bench_ladder(peaks, K=40):
         fn = lambda v: m.smooth(v, method="assoc")
         dt = _serial_sweep_time(fn, ym, K)
         flops = _flops_of(fn, ym)
-        out["mv_lgssm"][f"d{d}"] = {
+        out[f"d{d}"] = {
             "replicas": Rm, "T": T, "sweep_us": round(dt * 1e6, 1),
             "xla_flops_per_sweep": flops,
             "achieved_tflops": round(flops / dt / 1e12, 2),
             "mfu_pct_of_bf16_peak": round(100 * flops / dt / 1e12 / mxu_peak, 2),
             "note": "f32 compute; MFU denominator is the bf16 spec peak",
         }
+    return out
 
-    # -- streaming HGF filtering ------------------------------------------
+
+def _ladder_hgf(K, hbm_peak):
+    """Streaming HGF filtering."""
+    import jax
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import HGF
+
     Rh, Th = 65536, 256
     key = jax.random.PRNGKey(9)
     uh = jax.block_until_ready(
@@ -350,12 +363,49 @@ def bench_ladder(peaks, K=40):
 
     dt = _serial_sweep_time(hgf_fn, uh, K)
     bytes_traffic = (1 + 5) * Rh * Th * 4  # read u, write 5-track trajectory
-    out["hgf"] = {
+    return {
         "replicas": Rh, "T": Th,
         "sweep_us": round(dt * 1e6, 1),
         "obs_per_s": round(Rh * Th / dt, 1),
         "pct_hbm_peak": round(100 * bytes_traffic / dt / 1e9 / hbm_peak, 1),
     }
+
+
+def bench_ladder(peaks, K=40):
+    """On-chip device times for the rest of the BASELINE.md model ladder:
+    HMM+Dirichlet VMP, GMM structured VMP, MvLGSSM (d=4,16; MFU), streaming
+    HGF.  Same serialized-fori_loop methodology as the primary metric.
+
+    Each family runs in its own section: one family's failure (a tunnel
+    flake or a worker-crashing kernel) must not lose the others — and the
+    HMM pallas variant (the one kernel that has crashed the remote worker)
+    runs LAST, after every other number is banked."""
+    hbm_peak = (
+        peaks.get("spec_hbm_GBps")
+        or peaks.get("measured_hbm_probe_GBps")
+        or KNOWN_PEAKS["TPU v5 lite"]["hbm_GBps"]
+    )
+    mxu_peak = (
+        peaks.get("spec_bf16_tflops")
+        or peaks.get("measured_mxu_probe_bf16_tflops")
+        or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
+    )
+    out = {
+        "hmm": _section("ladder.hmm_scan", _ladder_hmm, K, "scan", retries=0),
+        "gmm": _section("ladder.gmm", _ladder_gmm, K, retries=0),
+        "mv_lgssm": _section("ladder.mv", _ladder_mv, K, mxu_peak, retries=0),
+        "hgf": _section("ladder.hgf", _ladder_hgf, K, hbm_peak, retries=0),
+    }
+    hmm_pallas = _section(
+        "ladder.hmm_pallas", _ladder_hmm, K, "pallas", retries=0
+    )
+    if isinstance(out["hmm"], dict) and "error" not in out["hmm"]:
+        out["hmm"]["per_vmp_iter_us"] = {
+            "scan": out["hmm"]["per_vmp_iter_us"],
+            "pallas": hmm_pallas.get("per_vmp_iter_us", hmm_pallas.get("error")),
+        }
+    else:
+        out["hmm_pallas"] = hmm_pallas
     return out
 
 
@@ -388,7 +438,18 @@ def main():
         generic_dt, generic_lowered = None, False
     else:
         generic_dt, generic_lowered = generic
-    ladder = _section("ladder", bench_ladder, peaks, retries=1)
+    # MFU numerator for the matmul path — computed BEFORE the ladder, whose
+    # kernels have crashed the remote worker and taken the backend with them.
+    try:
+        from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
+
+        op = lgssm_smoother_operator(T)
+        mm_flops = _flops_of(
+            lambda y: lgssm_smooth_matmul(y, operator=op), _make_data(replicas)
+        )
+    except Exception:  # pragma: no cover - infra-dependent
+        mm_flops = 0.0
+    ladder = bench_ladder(peaks)
 
     probe = primary.pop("probe")
     scale_failed = "error" in scale
@@ -414,16 +475,6 @@ def main():
         or peaks.get("measured_mxu_probe_bf16_tflops")
         or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
     )
-    # MFU for the matmul path (XLA-counted FLOPs for the (R,T)x(T,T) form).
-    try:
-        from cortex_tpu.ops import lgssm_smooth_matmul, lgssm_smoother_operator
-
-        op = lgssm_smoother_operator(T)
-        mm_flops = _flops_of(
-            lambda y: lgssm_smooth_matmul(y, operator=op), _make_data(replicas)
-        )
-    except Exception:  # pragma: no cover - infra-dependent
-        mm_flops = 0.0
     bytes_per_sweep = 3 * replicas * T * 4  # read y once, write mean+var
     result = {
         "metric": "lgssm_10k_replica_message_updates_per_sec_per_chip",

@@ -75,6 +75,41 @@ def main() -> int:
             shape=[R_, T],
         )
 
+    # -- 1b. HMM pallas E-step parity vs the log-space scan ----------------
+    try:
+        from cortex_tpu.ops.hmm import hmm_forward_backward
+        from cortex_tpu.ops.pallas_hmm import hmm_forward_backward_counts_pallas
+
+        Rh, Th, Kh = 512, 32, 4
+        lik = jnp.abs(
+            jnp.asarray(rng.normal(size=(Rh, Th, Kh)), jnp.float32)
+        ) + jnp.float32(0.05)
+        A_h = jnp.full((Kh, Kh), 1.0 / Kh) + 0.1 * jnp.eye(Kh)
+        A_h = A_h / A_h.sum(-1, keepdims=True)
+        pi_h = jnp.full((Kh,), 1.0 / Kh)
+        out_h = jax.block_until_ready(
+            hmm_forward_backward_counts_pallas(lik, A_h, pi_h, tile=256)
+        )
+        ref_h = hmm_forward_backward(
+            jnp.log(lik), jnp.log(A_h), jnp.log(pi_h)
+        )
+        g_err = float(jnp.max(jnp.abs(out_h.gamma - jnp.exp(ref_h.log_gamma))))
+        xi_ref = jnp.exp(ref_h.log_xi_sum)
+        # Expected counts have magnitude ~T/K; judge them relative to scale
+        # (the scaled-algebra pairwise assembly loses a few f32 digits).
+        x_rel = float(
+            jnp.max(jnp.abs(out_h.xi_sum - xi_ref)) / jnp.max(xi_ref)
+        )
+        record(
+            "parity_hmm_pallas_vs_log_scan",
+            g_err < 1e-3 and x_rel < 1e-2,
+            max_abs_err_gamma=round(g_err, 8),
+            max_rel_err_xi_sum=round(x_rel, 8),
+            shape=[Rh, Th, Kh],
+        )
+    except Exception as e:  # pragma: no cover - environment-specific
+        record("parity_hmm_pallas_vs_log_scan", False, error=repr(e))
+
     # -- 2. AOT compile + cost model ---------------------------------------
     try:
         compiled = aot_compile(lambda d: model.smooth(d, method="scan").mean, y)
