@@ -344,15 +344,23 @@ def _ladder_mv(K, mxu_peak):
         ym = jax.block_until_ready(
             jnp.cumsum(jax.random.normal(key, (Rm, T, d), jnp.float32), 1)
         )
-        fn = lambda v: m.smooth(v, method="assoc")
-        dt = _serial_sweep_time(fn, ym, K)
-        flops = _flops_of(fn, ym)
+        per_method = {}
+        for method, Km in (("scan", K), ("assoc", max(4, K // 8))):
+            fn = lambda v, meth=method: m.smooth(v, method=meth)
+            per_method[method] = (_serial_sweep_time(fn, ym, Km), fn)
+        best_method = min(per_method, key=lambda k: per_method[k][0])
+        dt, best_fn = per_method[best_method]
+        flops = _flops_of(best_fn, ym)
         out[f"d{d}"] = {
-            "replicas": Rm, "T": T, "sweep_us": round(dt * 1e6, 1),
+            "replicas": Rm, "T": T,
+            "sweep_us": {k: round(v[0] * 1e6, 1) for k, v in per_method.items()},
+            "best_method": best_method,
             "xla_flops_per_sweep": flops,
             "achieved_tflops": round(flops / dt / 1e12, 2),
             "mfu_pct_of_bf16_peak": round(100 * flops / dt / 1e12 / mxu_peak, 2),
-            "note": "f32 compute; MFU denominator is the bf16 spec peak",
+            "note": "f32 compute; MFU denominator is the bf16 spec peak; "
+            "assoc trades 2x combine work for O(log T) depth (pays off "
+            "time-sharded, not single-chip)",
         }
     return out
 

@@ -66,11 +66,15 @@ class MvLGSSM:
         )
         if method == "assoc":
             return mv_lgssm_smooth(*args)
+        if method == "scan":
+            from ..ops.chains_mv import mv_lgssm_smooth_seq
+
+            return mv_lgssm_smooth_seq(*args)
         if method == "sqrt":
             from ..ops.sqrt_kalman import sqrt_lgssm_smooth
 
             return sqrt_lgssm_smooth(*args)
-        raise ValueError(f"unknown method {method!r}; expected 'assoc' or 'sqrt'")
+        raise ValueError(f"unknown method {method!r}; expected 'assoc', 'scan', or 'sqrt'")
 
     def _args(self, y):
         return (

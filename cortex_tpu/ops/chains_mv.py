@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["MvChainMarginals", "mv_lgssm_filter", "mv_lgssm_log_evidence", "mv_lgssm_smooth"]
+__all__ = ["MvChainMarginals", "mv_lgssm_filter", "mv_lgssm_log_evidence", "mv_lgssm_smooth", "mv_lgssm_smooth_seq"]
 
 
 class MvChainMarginals(NamedTuple):
@@ -36,18 +36,91 @@ class _Elem(NamedTuple):
     J: jax.Array
 
 
+def _solve_small(M: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
+    """Batched ``solve(M, B)`` for small static ``d`` via unrolled
+    Gauss-Jordan.
+
+    ``jnp.linalg.solve`` lowers to an LU custom call; instantiated dozens of
+    times inside an unrolled ``associative_scan`` it produced a 473-second
+    XLA compile at the bench shape on the v5e tunnel — heavy enough to crash
+    the remote TPU worker outright.  For the d ≤ 16 systems of the smoother
+    combines, ``d`` unrolled elimination steps of pure vector ops compile in
+    seconds and batch over replicas on the VPU.  Falls back to the LU path
+    above d = 32.
+
+    ``pivot=False`` drops the partial-pivoting row swaps (the argmax +
+    row-gather per step is the remaining compile cost: measured 32 s vs 5 s
+    for a 100-step assoc-scan of combines on the v5e tunnel).  Only valid
+    when every leading principal pivot is structurally nonzero — true for
+    the smoother's systems: ``M = I + C @ J`` with C, J PSD has eigenvalues
+    ≥ 1, and predicted covariances are SPD.  The general default pivots."""
+    d = M.shape[-1]
+    if d > 32:
+        return jnp.linalg.solve(M, B)
+    aug = jnp.concatenate([M, B], axis=-1)  # (..., d, d+k)
+    idx = jnp.arange(d)
+    for i in range(d):
+        if pivot:
+            col = jnp.abs(aug[..., :, i])
+            col = jnp.where(idx >= i, col, -jnp.inf)  # among rows >= i
+            p = jnp.argmax(col, axis=-1)[..., None]  # (..., 1)
+            perm = jnp.where(idx == i, p, jnp.where(idx == p, i, idx))
+            aug = jnp.take_along_axis(aug, perm[..., :, None], axis=-2)
+        piv_row = aug[..., i : i + 1, :]
+        piv_row = piv_row / piv_row[..., :, i : i + 1]
+        factors = aug[..., :, i : i + 1]
+        is_i = (idx == i)[:, None]
+        aug = jnp.where(is_i, piv_row, aug - factors * piv_row)
+    return aug[..., :, d:]
+
+
+def _solve_small_logdet(M: jax.Array, B: jax.Array):
+    """Pivotless :func:`_solve_small` that also returns ``log |det M|``
+    (the running product of elimination pivots) — the Kalman update needs
+    ``S⁻¹`` systems AND ``log det S`` for the evidence, and this gets both
+    from one elimination with zero LU/Cholesky custom calls.  Requires the
+    structurally-nonzero-pivot condition of ``pivot=False`` (S is SPD)."""
+    d = M.shape[-1]
+    aug = jnp.concatenate([M, B], axis=-1)
+    idx = jnp.arange(d)
+    logdet = jnp.zeros(M.shape[:-2], M.dtype)
+    for i in range(d):
+        piv = aug[..., i, i]
+        logdet = logdet + jnp.log(jnp.abs(piv))
+        piv_row = aug[..., i : i + 1, :] / piv[..., None, None]
+        factors = aug[..., :, i : i + 1]
+        is_i = (idx == i)[:, None]
+        aug = jnp.where(is_i, piv_row, aug - factors * piv_row)
+    return aug[..., :, d:], logdet
+
+
 def _combine(e1: _Elem, e2: _Elem) -> _Elem:
     """Matrix filtering combine (Särkkä 2020 eq. 10); e1 earlier, e2 later."""
     d = e1.A.shape[-1]
     I = jnp.eye(d, dtype=e1.A.dtype)
     M = I + e1.C @ e2.J  # (..., d, d)
-    # solve(M, X) per batch; all solves share the LU of M.
-    A = e2.A @ jnp.linalg.solve(M, e1.A)
-    b = (e2.A @ jnp.linalg.solve(M, (e1.b + (e1.C @ e2.eta[..., None])[..., 0])[..., None]))[..., 0] + e2.b
-    C = e2.A @ jnp.linalg.solve(M, e1.C) @ _mT(e2.A) + e2.C
+    # One shared elimination for the three M-systems (stack on the k axis).
+    rhs = jnp.concatenate(
+        [
+            e1.A,
+            (e1.b + (e1.C @ e2.eta[..., None])[..., 0])[..., None],
+            e1.C,
+        ],
+        axis=-1,
+    )
+    sol = _solve_small(M, rhs, pivot=False)
+    MA, Mb, MC = sol[..., :d], sol[..., d : d + 1], sol[..., d + 1 :]
+    A = e2.A @ MA
+    b = (e2.A @ Mb)[..., 0] + e2.b
+    C = e2.A @ MC @ _mT(e2.A) + e2.C
     Mt = I + e2.J @ e1.C
-    eta = (_mT(e1.A) @ jnp.linalg.solve(Mt, (e2.eta - (e2.J @ e1.b[..., None])[..., 0])[..., None]))[..., 0] + e1.eta
-    J = _mT(e1.A) @ jnp.linalg.solve(Mt, e2.J) @ e1.A + e1.J
+    rhs_t = jnp.concatenate(
+        [(e2.eta - (e2.J @ e1.b[..., None])[..., 0])[..., None], e2.J],
+        axis=-1,
+    )
+    sol_t = _solve_small(Mt, rhs_t, pivot=False)
+    eta = (_mT(e1.A) @ sol_t[..., :1])[..., 0] + e1.eta
+    J = _mT(e1.A) @ sol_t[..., 1:] @ e1.A + e1.J
     return _Elem(A, b, C, eta, J)
 
 
@@ -108,11 +181,11 @@ def mv_lgssm_smooth(
 
     # Generic elements (t >= 2); identical for all steps except the data term.
     S = H @ Q @ _mT(H) + R  # (m, m)
-    K = _mT(jnp.linalg.solve(_mT(S), H @ _mT(Q)))  # Q Hᵀ S⁻¹, (d, m)
+    K = _mT(_solve_small(_mT(S), H @ _mT(Q), pivot=False))  # Q Hᵀ S⁻¹, (d, m)
     IKH = I - K @ H
     A_g = IKH @ A
     C_g = IKH @ Q
-    HtSi = _mT(jnp.linalg.solve(_mT(S), H))  # Hᵀ S⁻¹, (d?, m) -> (d, m)... (m,d)ᵀ
+    HtSi = _mT(_solve_small(_mT(S), H, pivot=False))  # Hᵀ S⁻¹, (d?, m) -> (d, m)... (m,d)ᵀ
     eta_coef = _mT(A) @ HtSi  # (d, m)
     J_g = _mT(A) @ HtSi @ H @ A  # (d, d)
 
@@ -135,7 +208,7 @@ def mv_lgssm_smooth(
     # First element: filtered belief of x_1 under the prior (prior alone if
     # the first observation is missing).
     S1 = H @ P0 @ _mT(H) + R
-    K1 = _mT(jnp.linalg.solve(_mT(S1), H @ _mT(P0)))  # P0 Hᵀ S1⁻¹
+    K1 = _mT(_solve_small(_mT(S1), H @ _mT(P0), pivot=False))  # P0 Hᵀ S1⁻¹
     m1 = obsT[0][..., None, None]
     b1 = m0 + jnp.where(
         m1[..., 0], jnp.einsum("dm,...m->...d", K1, yT[0] - H @ m0), 0.0
@@ -156,7 +229,7 @@ def mv_lgssm_smooth(
 
     # Smoother elements.
     Pp = A @ fP[:-1] @ _mT(A) + Q  # predicted covs
-    G = _mT(jnp.linalg.solve(_mT(Pp), A @ _mT(fP[:-1])))  # P_f Aᵀ Pp⁻¹
+    G = _mT(_solve_small(_mT(Pp), A @ _mT(fP[:-1]), pivot=False))  # P_f Aᵀ Pp⁻¹
     g = fm[:-1] - jnp.einsum("t...ij,t...j->t...i", G @ A, fm[:-1])
     L = fP[:-1] - G @ Pp @ _mT(G)
     selems = _SElem(
@@ -190,21 +263,31 @@ def _mv_filter_scan(y, A, Q, H, R, prior):
     batch = yT.shape[1:-1]
 
     def update(mean, P, obs, mask):
+        # One pivotless Gauss-Jordan elimination of the SPD innovation
+        # system yields S⁻¹innov, S⁻¹HP, and log det S together — replacing
+        # the Cholesky + two triangular-solve custom calls that dominated
+        # the sequential filter's runtime on TPU (1.9 ms/step at
+        # (4096, d=4); custom calls serialize per step inside lax.scan).
         S = H @ P @ _mT(H) + R  # (..., m, m)
-        Ls = jnp.linalg.cholesky(S)
         innov = obs - jnp.einsum("md,...d->...m", H, mean)
-        u = jax.scipy.linalg.solve_triangular(Ls, innov[..., None], lower=True)[..., 0]
+        PHt = P @ jnp.broadcast_to(_mT(H), P.shape[:-2] + (d, mdim))
+        rhs = jnp.concatenate([innov[..., None], _mT(PHt)], axis=-1)
+        sol, logdetS = _solve_small_logdet(
+            jnp.broadcast_to(S, innov.shape[:-1] + (mdim, mdim)), rhs
+        )
+        u = sol[..., 0]  # S⁻¹ innov
+        SiHP = sol[..., 1:]  # S⁻¹ H P, (..., m, d)
         ll = (
-            -0.5 * jnp.sum(u * u, axis=-1)
-            - jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1)), axis=-1)
+            -0.5 * jnp.sum(innov * u, axis=-1)
+            - 0.5 * logdetS
             - 0.5 * mdim * jnp.log(2.0 * jnp.pi)
         )
-        PHt = P @ jnp.broadcast_to(_mT(H), P.shape[:-2] + (d, mdim))
-        # K = P Hᵀ S⁻¹ via two triangular solves.
-        t1 = jax.scipy.linalg.solve_triangular(Ls, _mT(PHt), lower=True)
-        K = _mT(jax.scipy.linalg.solve_triangular(_mT(Ls), t1, lower=False))
-        mean_u = mean + jnp.einsum("...dm,...m->...d", K, innov)
-        P_u = P - K @ S @ _mT(K)
+        mean_u = mean + jnp.einsum("...dm,...m->...d", PHt, u)
+        P_u = P - PHt @ SiHP
+        # Rounding in the elimination asymmetrizes P slightly; over long
+        # chains that compounds until S loses SPD (NaN evidence gradients at
+        # T=200).  Re-symmetrize every step.
+        P_u = 0.5 * (P_u + _mT(P_u))
         keep = mask[..., None]
         keep2 = mask[..., None, None]
         return (
@@ -230,6 +313,49 @@ def _mv_filter_scan(y, A, Q, H, R, prior):
     covs = jnp.concatenate([P1[None], covs], axis=0)
     lls = jnp.concatenate([ll1[None], lls], axis=0)
     return means, covs, lls
+
+
+def mv_lgssm_smooth_seq(
+    y: jax.Array,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior: Tuple[jax.Array, jax.Array],
+) -> MvChainMarginals:
+    """Sequential RTS smoother (filter ``lax.scan`` + backward ``lax.scan``).
+
+    Same marginals as :func:`mv_lgssm_smooth`.  Single-chip this is usually
+    the fastest path: the associative scan performs ~2× the combine work of
+    the sequential recursions to buy O(log T) *depth*, which only pays when
+    the time axis is sharded across devices (``parallel.time_sharded``) —
+    at (R=4096, T=100, d=4) on a v5e the sequential smoother also compiles
+    ~4× faster than the unrolled combine network."""
+    A_, Q_ = jnp.asarray(A), jnp.asarray(Q)
+    means, covs, _ = _mv_filter_scan(y, A_, Q_, H, R, prior)
+    A_ = jnp.asarray(A_, means.dtype)
+    Q_ = jnp.asarray(Q_, means.dtype)
+
+    def back(carry, inp):
+        ms_next, Ps_next = carry
+        mf, Pf = inp
+        Pp = A_ @ Pf @ _mT(A_) + Q_
+        G = _mT(_solve_small(_mT(Pp), A_ @ _mT(Pf), pivot=False))
+        ms = mf + jnp.einsum(
+            "...de,...e->...d", G, ms_next - jnp.einsum("de,...e->...d", A_, mf)
+        )
+        Ps = Pf + G @ (Ps_next - Pp) @ _mT(G)
+        return (ms, Ps), (ms, Ps)
+
+    _, (ms_rest, Ps_rest) = lax.scan(
+        back,
+        (means[-1], covs[-1]),
+        (means[:-1], covs[:-1]),
+        reverse=True,
+    )
+    ms = jnp.concatenate([ms_rest, means[-1:]], axis=0)
+    Ps = jnp.concatenate([Ps_rest, covs[-1:]], axis=0)
+    return MvChainMarginals(jnp.moveaxis(ms, 0, -2), jnp.moveaxis(Ps, 0, -3))
 
 
 def mv_lgssm_filter(

@@ -213,6 +213,7 @@ def mv_lgssm_smooth_time_sharded(
         _combine,
         _mT,
         _scombine,
+        _solve_small,
     )
 
     y = jnp.asarray(y)
@@ -252,9 +253,9 @@ def mv_lgssm_smooth_time_sharded(
 
         # Generic filter elements for all local steps.
         S = H @ Q @ _mT(H) + R
-        K = _mT(jnp.linalg.solve(_mT(S), H @ _mT(Q)))
+        K = _mT(_solve_small(_mT(S), H @ _mT(Q), pivot=False))
         IKH = I - K @ H
-        HtSi = _mT(jnp.linalg.solve(_mT(S), H))
+        HtSi = _mT(_solve_small(_mT(S), H, pivot=False))
         A_g = jnp.broadcast_to(IKH @ A, yT.shape[:-1] + (d, d))
         C_g = jnp.broadcast_to(IKH @ Q, yT.shape[:-1] + (d, d))
         J_g = jnp.broadcast_to(_mT(A) @ HtSi @ H @ A, yT.shape[:-1] + (d, d))
@@ -263,7 +264,7 @@ def mv_lgssm_smooth_time_sharded(
 
         # First global element: filtered belief of x_1 from the prior.
         S1 = H @ P0 @ _mT(H) + R
-        K1 = _mT(jnp.linalg.solve(_mT(S1), H @ _mT(P0)))
+        K1 = _mT(_solve_small(_mT(S1), H @ _mT(P0), pivot=False))
         b1 = m0 + jnp.einsum("de,...e->...d", K1, yT[0] - H @ m0)
         C1 = jnp.broadcast_to((I - K1 @ H) @ P0, batch + (d, d))
         is_first = my == 0
@@ -290,7 +291,7 @@ def mv_lgssm_smooth_time_sharded(
 
         # Smoother elements.
         Pp = A @ fP @ _mT(A) + Q
-        G = _mT(jnp.linalg.solve(_mT(Pp), A @ _mT(fP)))
+        G = _mT(_solve_small(_mT(Pp), A @ _mT(fP), pivot=False))
         g = fm - jnp.einsum("t...de,t...e->t...d", G @ A, fm)
         L = fP - G @ Pp @ _mT(G)
         is_last = my == ndev - 1

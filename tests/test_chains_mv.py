@@ -136,3 +136,28 @@ def test_mv_lgssm_model_wrapper():
     err = float(jnp.abs(marg.mean[..., 0] - x[..., 0]).mean())
     raw = float(jnp.abs(y[..., 0] - x[..., 0]).mean())
     assert err < raw
+
+
+def test_solve_small_matches_numpy_lu():
+    """The unrolled Gauss-Jordan solve (TPU-native replacement for the LU
+    custom call, ops/chains_mv.py::_solve_small) must match numpy on batched
+    systems, including matrices whose naive pivot is zero (forces the
+    partial-pivoting row swaps)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cortex_tpu.ops.chains_mv import _solve_small
+
+    rng = np.random.default_rng(0)
+    for d in (1, 2, 4, 7, 16):
+        M = rng.normal(size=(5, 3, d, d)).astype(np.float64)
+        B = rng.normal(size=(5, 3, d, d + 2)).astype(np.float64)
+        got = np.asarray(_solve_small(jnp.asarray(M), jnp.asarray(B)))
+        want = np.linalg.solve(M, B)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # Zero leading pivot: [[0, 1], [1, 0]] breaks pivotless elimination.
+    M = np.array([[[0.0, 1.0], [1.0, 2.0]]])
+    B = np.array([[[1.0], [0.0]]])
+    got = np.asarray(_solve_small(jnp.asarray(M), jnp.asarray(B)))
+    np.testing.assert_allclose(got, np.linalg.solve(M, B), atol=1e-6)
