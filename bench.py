@@ -344,13 +344,27 @@ def _ladder_mv(K, mxu_peak):
         ym = jax.block_until_ready(
             jnp.cumsum(jax.random.normal(key, (Rm, T, d), jnp.float32), 1)
         )
+        from cortex_tpu.ops.chains_mv import (
+            mv_lgssm_smooth_matmul,
+            mv_lgssm_smoother_operator,
+        )
+
+        op = mv_lgssm_smoother_operator(
+            T, m.A, m.Q, m.H, m.R, (m.m0, m.P0)
+        )
         per_method = {}
         for method, Km in (("scan", K), ("assoc", max(4, K // 8))):
             fn = lambda v, meth=method: m.smooth(v, method=meth)
-            per_method[method] = (_serial_sweep_time(fn, ym, Km), fn)
+            per_method[method] = (_serial_sweep_time(fn, ym, Km), fn, ())
+        mm_fn = lambda v, o: mv_lgssm_smooth_matmul(v, operator=o)
+        per_method["matmul"] = (
+            _serial_sweep_time(mm_fn, ym, K, aux=(op,)),
+            mm_fn,
+            (op,),
+        )
         best_method = min(per_method, key=lambda k: per_method[k][0])
-        dt, best_fn = per_method[best_method]
-        flops = _flops_of(best_fn, ym)
+        dt, best_fn, best_aux = per_method[best_method]
+        flops = _flops_of(best_fn, ym, *best_aux)
         out[f"d{d}"] = {
             "replicas": Rm, "T": T,
             "sweep_us": {k: round(v[0] * 1e6, 1) for k, v in per_method.items()},

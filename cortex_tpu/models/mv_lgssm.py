@@ -70,11 +70,15 @@ class MvLGSSM:
             from ..ops.chains_mv import mv_lgssm_smooth_seq
 
             return mv_lgssm_smooth_seq(*args)
+        if method == "matmul":
+            from ..ops.chains_mv import mv_lgssm_smooth_matmul
+
+            return mv_lgssm_smooth_matmul(*args)
         if method == "sqrt":
             from ..ops.sqrt_kalman import sqrt_lgssm_smooth
 
             return sqrt_lgssm_smooth(*args)
-        raise ValueError(f"unknown method {method!r}; expected 'assoc', 'scan', or 'sqrt'")
+        raise ValueError(f"unknown method {method!r}; expected 'assoc', 'scan', 'matmul', or 'sqrt'")
 
     def _args(self, y):
         return (

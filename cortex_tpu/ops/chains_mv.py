@@ -20,7 +20,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["MvChainMarginals", "mv_lgssm_filter", "mv_lgssm_log_evidence", "mv_lgssm_smooth", "mv_lgssm_smooth_seq"]
+__all__ = [
+    "MvChainMarginals",
+    "MvSmootherOperator",
+    "mv_lgssm_filter",
+    "mv_lgssm_log_evidence",
+    "mv_lgssm_smooth",
+    "mv_lgssm_smooth_seq",
+    "mv_lgssm_smooth_matmul",
+    "mv_lgssm_smoother_operator",
+]
 
 
 class MvChainMarginals(NamedTuple):
@@ -356,6 +365,78 @@ def mv_lgssm_smooth_seq(
     ms = jnp.concatenate([ms_rest, means[-1:]], axis=0)
     Ps = jnp.concatenate([Ps_rest, covs[-1:]], axis=0)
     return MvChainMarginals(jnp.moveaxis(ms, 0, -2), jnp.moveaxis(Ps, 0, -3))
+
+
+class MvSmootherOperator(NamedTuple):
+    """Precompiled affine smoother: ``means = y·L + c``, covs constant.
+
+    For a time-invariant LGSSM the smoothed means are affine in the stacked
+    observations and the smoothed covariances do not depend on the data at
+    all — the entire smoothing sweep collapses to ONE ``(R, T·m) @
+    (T·m, T·d)`` MXU matmul against a precomputed operator plus a constant
+    covariance track.  The d-dimensional generalization of the scalar
+    ``lgssm_smooth_matmul`` trick (``ops/chains.py``); O(T²·m·d) FLOPs per
+    replica (vs O(T·d³) sequential) — wins while the (T·m, T·d) operator
+    fits comfortably, loses at very large T.  Dense data only (no NaNs:
+    missingness changes the operator)."""
+
+    L: jax.Array  # (T*m, T*d)
+    c: jax.Array  # (T, d) affine offset (prior contribution)
+    cov: jax.Array  # (T, d, d) data-independent smoothed covariances
+
+
+def mv_lgssm_smoother_operator(
+    T: int,
+    A: jax.Array,
+    Q: jax.Array,
+    H: jax.Array,
+    R: jax.Array,
+    prior: Tuple[jax.Array, jax.Array],
+) -> MvSmootherOperator:
+    """Build the affine operator by smoothing the T·m unit-impulse inputs
+    as one batch (linearity: column k of L is ``smooth(e_k) - smooth(0)``)."""
+    A_, Q_, H_, R_ = map(jnp.asarray, (A, Q, H, R))
+    m = H_.shape[-2]
+    d = A_.shape[-1]
+    basis = jnp.concatenate(
+        [jnp.zeros((1, T * m)), jnp.eye(T * m)], axis=0
+    ).reshape(T * m + 1, T, m)
+    out = mv_lgssm_smooth_seq(basis, A_, Q_, H_, R_, prior)
+    c = out.mean[0]  # (T, d): response to all-zero observations
+    L = (out.mean[1:] - c).reshape(T * m, T * d)
+    return MvSmootherOperator(L, c, out.cov[0])
+
+
+def mv_lgssm_smooth_matmul(
+    y: jax.Array,
+    A: jax.Array = None,
+    Q: jax.Array = None,
+    H: jax.Array = None,
+    R: jax.Array = None,
+    prior: Tuple[jax.Array, jax.Array] = None,
+    operator: MvSmootherOperator = None,
+) -> MvChainMarginals:
+    """Smoothing as one MXU matmul against a precomputed affine operator.
+
+    Identical marginals to :func:`mv_lgssm_smooth` for dense data; pass
+    ``operator=`` to amortize the build across sweeps."""
+    y = jnp.asarray(y)
+    T, m = y.shape[-2], y.shape[-1]
+    if operator is None:
+        operator = mv_lgssm_smoother_operator(T, A, Q, H, R, prior)
+    d = operator.c.shape[-1]
+    flat = y.reshape(y.shape[:-2] + (T * m,))
+    means = (
+        jnp.einsum(
+            "...k,kj->...j",
+            flat,
+            operator.L,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(y.shape[:-2] + (T, d))
+        + operator.c
+    )
+    cov = jnp.broadcast_to(operator.cov, y.shape[:-2] + (T, d, d))
+    return MvChainMarginals(means, cov)
 
 
 def mv_lgssm_filter(

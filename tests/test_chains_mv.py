@@ -161,3 +161,30 @@ def test_solve_small_matches_numpy_lu():
     B = np.array([[[1.0], [0.0]]])
     got = np.asarray(_solve_small(jnp.asarray(M), jnp.asarray(B)))
     np.testing.assert_allclose(got, np.linalg.solve(M, B), atol=1e-6)
+
+
+def test_mv_matmul_operator_matches_scan():
+    """The affine-operator smoother (one (R,Tm)x(Tm,Td) matmul + constant
+    covariances, ops/chains_mv.py::mv_lgssm_smooth_matmul) must reproduce
+    the sequential RTS path exactly, including a nonzero prior mean (the
+    affine offset column)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import MvLGSSM
+
+    d = 3
+    rng = np.random.default_rng(5)
+    m = MvLGSSM.from_arrays(
+        A=0.8 * np.eye(d) + 0.05 * rng.normal(size=(d, d)),
+        Q=np.eye(d) * 0.5,
+        H=rng.normal(size=(2, d)),
+        R=np.eye(2) * 0.7,
+        m0=rng.normal(size=d),
+        P0=np.eye(d),
+    )
+    y = jnp.asarray(rng.normal(size=(5, 24, 2)), jnp.float32)
+    a = m.smooth(y, method="scan")
+    b = m.smooth(y, method="matmul")
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov), atol=2e-5)
