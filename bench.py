@@ -436,10 +436,18 @@ def bench_ladder(peaks, K=40):
         "ladder.hmm_pallas", _ladder_hmm, K, "pallas", retries=0
     )
     if isinstance(out["hmm"], dict) and "error" not in out["hmm"]:
-        out["hmm"]["per_vmp_iter_us"] = {
+        variants = {
             "scan": out["hmm"]["per_vmp_iter_us"],
             "pallas": hmm_pallas.get("per_vmp_iter_us", hmm_pallas.get("error")),
         }
+        out["hmm"]["per_vmp_iter_us"] = variants
+        timed = [v for v in variants.values() if isinstance(v, (int, float))]
+        if timed:
+            best = min(timed) * 1e-6
+            h = out["hmm"]
+            h["msg_updates_per_s"] = round(
+                h["replicas"] * h["T"] * 3 / best, 1
+            )
     else:
         out["hmm_pallas"] = hmm_pallas
     return out
