@@ -393,15 +393,21 @@ def _ladder_hgf(K, hbm_peak):
     )
     hgf = HGF()
 
-    def hgf_fn(data):
-        final, traj = hgf.filter(data)
-        return final, traj.mu1, traj.mu2
+    def hgf_fn(method):
+        def fn(data):
+            final, traj = hgf.filter(data, method=method)
+            return final, traj.mu1, traj.mu2
+        return fn
 
-    dt = _serial_sweep_time(hgf_fn, uh, K)
+    us = {
+        m: _serial_sweep_time(hgf_fn(m), uh, K) for m in ("scan", "pallas")
+    }
+    dt = min(us.values())
     bytes_traffic = (1 + 5) * Rh * Th * 4  # read u, write 5-track trajectory
     return {
         "replicas": Rh, "T": Th,
-        "sweep_us": round(dt * 1e6, 1),
+        "sweep_us": {m: round(v * 1e6, 1) for m, v in us.items()},
+        "best_method": min(us, key=us.get),
         "obs_per_s": round(Rh * Th / dt, 1),
         "pct_hbm_peak": round(100 * bytes_traffic / dt / 1e9 / hbm_peak, 1),
     }

@@ -43,17 +43,21 @@ def main():
         )
         op = lgssm_smoother_operator(T_)
         K = max(10, 40_000 // T_)
+        tile = min(2048, max(256, R_))
+        # The (T,T) operator rides as a jit argument: closed-over it would be
+        # inlined into the remote_compile HLO payload (164MB at T=6400).
         paths = {
-            "matmul": lambda y: lgssm_smooth_matmul(y, operator=op),
-            "scan": lambda y: model.smooth(y, method="scan"),
-            "pallas": lambda y: lgssm_smooth_pallas(
-                y, tile=min(2048, max(256, R_))
+            "matmul": (
+                lambda y, o: lgssm_smooth_matmul(y, operator=o),
+                (op,),
             ),
+            "scan": (lambda y: model.smooth(y, method="scan"), ()),
+            "pallas": (lambda y: lgssm_smooth_pallas(y, tile=tile), ()),
         }
         row = {"T": T_, "replicas": R_, "sweep_us": {}}
-        for name, fn in paths.items():
+        for name, (fn, aux) in paths.items():
             try:
-                dt = bench._serial_sweep_time(fn, y0, K)
+                dt = bench._serial_sweep_time(fn, y0, K, aux=aux)
                 row["sweep_us"][name] = round(dt * 1e6, 1)
             except Exception as e:  # pragma: no cover - shape/VMEM limits
                 row["sweep_us"][name] = f"error: {type(e).__name__}"

@@ -133,10 +133,46 @@ class HGF:
         _, lls = lax.scan(body, state, uT)
         return jnp.sum(lls, axis=0)
 
-    def filter(self, u: jax.Array, state: HGFState = None):
+    def filter(self, u: jax.Array, state: HGFState = None, method: str = "scan"):
         """Filter a series ``u`` of shape ``(..., T)``; returns the final
-        state and the full trajectory ``(..., T)`` — one ``lax.scan``."""
+        state and the full trajectory ``(..., T)``.
+
+        ``method="scan"``: one ``lax.scan`` (any batch shape, any initial
+        state).  ``method="pallas"``: the fused VMEM-resident kernel
+        (``ops.pallas_hgf``) — the whole trajectory per replica tile with
+        no intermediate HBM traffic; requires ``u`` of shape ``(R, T)``
+        and the default zero-initialized state."""
         u = jnp.asarray(u)
+        if method == "pallas":
+            if state is not None or u.ndim != 2:
+                raise ValueError(
+                    "method='pallas' requires u of shape (R, T) and the "
+                    "default initial state"
+                )
+            from ..ops.pallas_hgf import hgf_filter_pallas
+
+            tracks = hgf_filter_pallas(
+                u,
+                kappa=self.kappa,
+                omega=self.omega,
+                theta=self.theta,
+                pi_u=self.pi_u,
+                max_log_nu=self.max_log_nu,
+                min_pi2=self.min_pi2,
+                max_mu2_step=self.max_mu2_step,
+            )
+            traj = HGFTrajectory(*tracks)
+            final = HGFState(
+                traj.mu1[..., -1],
+                traj.pi1[..., -1],
+                traj.mu2[..., -1],
+                traj.pi2[..., -1],
+            )
+            return final, traj
+        if method != "scan":
+            raise ValueError(
+                f"unknown method {method!r}; expected 'scan' or 'pallas'"
+            )
         uT = jnp.moveaxis(u, -1, 0)
         if state is None:
             state = self.init_state(uT.shape[1:], u.dtype)

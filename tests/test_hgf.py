@@ -161,3 +161,42 @@ def test_binary_hgf_batched_and_step_agree():
     for t in range(30):
         state, _ = hgf.step(state, jnp.asarray(u[2, t]))
     assert float(state.mu2) == pytest.approx(float(final.mu2[2]), rel=1e-5)
+
+
+def test_hgf_pallas_filter_matches_scan():
+    """The fused VMEM-resident kernel (ops/pallas_hgf.py) must reproduce the
+    lax.scan filter exactly (interpret mode on CPU), including the guard
+    semantics, across a non-tile-aligned replica count."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cortex_tpu.models import HGF
+
+    hgf = HGF()
+    u = jnp.asarray(
+        np.random.default_rng(3).normal(size=(33, 50)).cumsum(-1) * 0.2,
+        jnp.float32,
+    )
+    fs, ts = hgf.filter(u)
+    fp, tp = hgf.filter(u, method="pallas")
+    for name in ("mu1", "pi1", "mu2", "pi2", "prediction_error"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts, name)),
+            np.asarray(getattr(tp, name)),
+            atol=1e-5,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(fs.mu2), np.asarray(fp.mu2), atol=1e-5)
+
+
+def test_hgf_pallas_rejects_bad_shapes():
+    import jax.numpy as jnp
+    import pytest
+
+    from cortex_tpu.models import HGF
+
+    hgf = HGF()
+    with pytest.raises(ValueError, match="pallas"):
+        hgf.filter(jnp.zeros((4, 5, 6)), method="pallas")
+    with pytest.raises(ValueError, match="unknown method"):
+        hgf.filter(jnp.zeros((4, 5)), method="nope")
