@@ -1,7 +1,7 @@
 # Developer targets (parity with the reference's Makefile: test / benchmark /
 # format / docs).
 
-.PHONY: test test-fast lint bench bench-save bench-judge native clean docs tpu-check crossover precision compiler-scale
+.PHONY: test test-fast lint format bench bench-save bench-judge native clean docs tpu-check crossover precision compiler-scale
 
 test:
 	python -m pytest tests/ -q
@@ -14,6 +14,11 @@ test:
 lint:
 	python tools/lint.py
 	python tools/typecheck.py
+	python tools/format.py
+
+# Formatting contract alone (reference: scripts/formatter.jl via make format).
+format:
+	python tools/format.py
 
 # On-chip artifact: pallas-vs-scan parity + AOT export + serving smoke on the
 # real TPU; writes TPU_CHECK.json (VERDICT r1 item 7).

@@ -601,7 +601,8 @@ def main():
             "erratum_r01": "BENCH_r01 numbers (35 GUPS headline) were remote-"
             "execution-cache artifacts (~7x inflated); r02+ use this "
             "cache-defeating methodology and supersede them",
-            "baseline": "dynamic per-signal reactive engine (reference architecture), msg_updates/s",
+            "baseline": "dynamic per-signal reactive engine (reference "
+            "architecture), msg_updates/s",
             "baseline_value": round(baseline_updates_per_s, 1),
         },
     }

@@ -63,7 +63,8 @@ class StaticSchedule:
     initials: List[Signal]  # computed at compile time (VMP initial marginals)
     targets: Dict[int, Signal]  # variable_id -> marginal signal
     linked: Dict[int, List[Signal]]  # variable_id -> linked signals
-    skipped: List[Signal]  # unscheduled candidates: never-computable OR frozen computed (stale reads)
+    # unscheduled candidates: never-computable OR frozen computed (stale reads)
+    skipped: List[Signal]
 
     @property
     def num_steps(self) -> int:

@@ -80,7 +80,12 @@ class BayesianAR:
         companion map at the posterior coefficient mean."""
         y = jnp.asarray(y)
         post = posterior if posterior is not None else self.fit(y)
-        A = companion_matrix(post.mean) if post.mean.ndim == 1 else jax.vmap(companion_matrix)(post.mean.reshape(-1, self.p)).reshape(post.mean.shape[:-1] + (self.p, self.p))
+        if post.mean.ndim == 1:
+            A = companion_matrix(post.mean)
+        else:
+            A = jax.vmap(companion_matrix)(
+                post.mean.reshape(-1, self.p)
+            ).reshape(post.mean.shape[:-1] + (self.p, self.p))
         state = jnp.flip(y[..., -self.p :], axis=-1)  # most recent first
 
         def step(s, _):

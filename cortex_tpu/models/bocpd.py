@@ -194,7 +194,9 @@ class BOCPD:
             )
             return (new_logw, new_stats, log_Z + step_Z), (new_logw,)
 
-        (_, _, log_Z), (logws,) = lax.scan(step, (logw0, stats0, jnp.zeros(batch_shape, dtype)), yT)
+        (_, _, log_Z), (logws,) = lax.scan(
+            step, (logw0, stats0, jnp.zeros(batch_shape, dtype)), yT
+        )
         logws = jnp.moveaxis(logws, 0, -2)  # (..., T, R)
         return BOCPDResult(
             run_length_logprobs=logws,

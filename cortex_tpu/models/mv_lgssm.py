@@ -41,7 +41,12 @@ class MvLGSSM:
 
     @classmethod
     def from_arrays(cls, A, Q, H, R, m0, P0) -> "MvLGSSM":
-        t = lambda a: tuple(map(tuple, jnp.asarray(a).tolist())) if jnp.asarray(a).ndim > 1 else tuple(jnp.asarray(a).tolist())
+        def t(a):
+            a = jnp.asarray(a)
+            if a.ndim > 1:
+                return tuple(map(tuple, a.tolist()))
+            return tuple(a.tolist())
+
         return cls(t(A), t(Q), t(H), t(R), t(m0), t(P0))
 
     @property
@@ -78,7 +83,9 @@ class MvLGSSM:
             from ..ops.sqrt_kalman import sqrt_lgssm_smooth
 
             return sqrt_lgssm_smooth(*args)
-        raise ValueError(f"unknown method {method!r}; expected 'assoc', 'scan', 'matmul', or 'sqrt'")
+        raise ValueError(
+            f"unknown method {method!r}; expected 'assoc', 'scan', 'matmul', or 'sqrt'"
+        )
 
     def _args(self, y):
         return (

@@ -83,7 +83,10 @@ class SGPR:
         Ay = A @ y / sigma  # (m,)
         c = jax.scipy.linalg.solve_triangular(LB, Ay, lower=True)
 
-        knn_diag = jnp.full((n,), self.variance, X.dtype) if isinstance(self.kernel, str) else jnp.diagonal(k(X, X))
+        if isinstance(self.kernel, str):
+            knn_diag = jnp.full((n,), self.variance, X.dtype)
+        else:
+            knn_diag = jnp.diagonal(k(X, X))
         trace_term = jnp.sum(knn_diag) / self.noise - jnp.sum(A * A)
 
         elbo = (

@@ -226,7 +226,11 @@ def mv_lgssm_smooth(
     zeros_d = jnp.zeros(batch + (d,), y.dtype)
     zeros_dd = jnp.zeros(batch + (d, d), y.dtype)
     elem1 = _Elem(
-        zeros_dd, jnp.broadcast_to(b1, batch + (d,)), jnp.broadcast_to(C1, batch + (d, d)), zeros_d, zeros_dd
+        zeros_dd,
+        jnp.broadcast_to(b1, batch + (d,)),
+        jnp.broadcast_to(C1, batch + (d, d)),
+        zeros_d,
+        zeros_dd,
     )
 
     elems = jax.tree_util.tree_map(

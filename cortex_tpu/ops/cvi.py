@@ -111,7 +111,10 @@ def cvi_linear_model(
         logdet_Sinv = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
         kl = 0.5 * (
             (m @ m) / prior_var
-            + jnp.trace(jax.scipy.linalg.cho_solve((L, True), jnp.eye(X.shape[1], dtype=X.dtype))) / prior_var
+            + jnp.trace(
+                jax.scipy.linalg.cho_solve((L, True), jnp.eye(X.shape[1], dtype=X.dtype))
+            )
+            / prior_var
             + logdet_Sinv
             + X.shape[1] * jnp.log(prior_var)
             - X.shape[1]

@@ -131,7 +131,11 @@ def hmc_sample(
     lp0 = logp(flat0)
     init_carry = (
         (flat0, lp0),
-        (jnp.log(jnp.asarray(init_step_size)), jnp.log(jnp.asarray(init_step_size)), jnp.asarray(0.0)),
+        (
+            jnp.log(jnp.asarray(init_step_size)),
+            jnp.log(jnp.asarray(init_step_size)),
+            jnp.asarray(0.0),
+        ),
         (jnp.zeros(d, flat0.dtype), jnp.zeros(d, flat0.dtype)),
         jnp.asarray(1.0),
     )

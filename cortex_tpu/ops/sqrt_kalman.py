@@ -110,7 +110,9 @@ def sqrt_lgssm_filter(
              jnp.zeros(S.shape[:-2] + (m, d), S.dtype)],
             axis=-1,
         )
-        bot = jnp.concatenate([_mT(S) @ jnp.broadcast_to(_mT(H), S.shape[:-2] + (d, m)), _mT(S)], axis=-1)
+        bot = jnp.concatenate(
+            [_mT(S) @ jnp.broadcast_to(_mT(H), S.shape[:-2] + (d, m)), _mT(S)], axis=-1
+        )
         post = _tria(jnp.concatenate([top, bot], axis=-2))  # (..., m+d, m+d)
         Sy = post[..., :m, :m]  # chol of innovation cov
         Kbar = post[..., m:, :m]  # K @ Sy
@@ -186,7 +188,10 @@ def sqrt_lgssm_smooth(
         # Predicted sqrt at t+1 from the filtered factor (one QR).
         Sp = _tria(
             jnp.concatenate(
-                [_mT(Sf) @ jnp.broadcast_to(_mT(A), Sf.shape), jnp.broadcast_to(_mT(Lq), Sf.shape)],
+                [
+                    _mT(Sf) @ jnp.broadcast_to(_mT(A), Sf.shape),
+                    jnp.broadcast_to(_mT(Lq), Sf.shape),
+                ],
                 axis=-2,
             )
         )

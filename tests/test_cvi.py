@@ -66,7 +66,8 @@ def test_probit_matches_1d_grid_oracle_and_ep():
 def test_elbo_ascends():
     rng = np.random.default_rng(2)
     X = rng.normal(size=(60, 2)).astype(np.float32)
-    y = np.where(X @ np.array([1.0, -1.0]) + 0.3 * rng.normal(size=60) > 0, 1.0, -1.0).astype(np.float32)
+    logits = X @ np.array([1.0, -1.0]) + 0.3 * rng.normal(size=60)
+    y = np.where(logits > 0, 1.0, -1.0).astype(np.float32)
     yj = jnp.asarray(y)
 
     def log_lik(z):

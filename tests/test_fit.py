@@ -148,6 +148,14 @@ def test_fit_mv_lgssm_ml_improves_over_default_init():
     # Fitted A close to truth (identifiable with H = I).
     np.testing.assert_allclose(np.asarray(params.A), A_true, atol=0.15)
     prior = (jnp.zeros(d), 10.0 * jnp.eye(d))
-    le_fit = float(jnp.mean(mv_lgssm_log_evidence(y, params.A, params.Q, jnp.eye(d), params.R, prior)))
-    le_true = float(jnp.mean(mv_lgssm_log_evidence(y, jnp.asarray(A_true), 0.2 * jnp.eye(d), jnp.eye(d), 0.4 * jnp.eye(d), prior)))
+    le_fit = float(
+        jnp.mean(mv_lgssm_log_evidence(y, params.A, params.Q, jnp.eye(d), params.R, prior))
+    )
+    le_true = float(
+        jnp.mean(
+            mv_lgssm_log_evidence(
+                y, jnp.asarray(A_true), 0.2 * jnp.eye(d), jnp.eye(d), 0.4 * jnp.eye(d), prior
+            )
+        )
+    )
     assert le_fit > le_true - 2.0  # within sampling noise of the truth

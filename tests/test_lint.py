@@ -140,3 +140,43 @@ def test_noqa_suppresses(tmp_path):
         """,
     )
     assert findings == [], findings
+
+
+# ---------------------------------------------------------------------------
+# Formatting gate (tools/format.py) — the JuliaFormatter analogue
+# (/root/reference/Makefile `format`, scripts/formatter.jl:1-10).
+
+import format as formatmod  # noqa: E402
+
+
+def test_package_formats_clean():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "format.py")],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_format_detects_seeded_violations(tmp_path):
+    f = tmp_path / "bad.py"
+    f.write_text(
+        "import cortex_tpu\nimport os\nx = 1  \ny = '"
+        + "a" * 120
+        + "'\nif x:\n\tz = 2\n\n"
+    )
+    codes = {code for *_, code, _ in formatmod.check_file(f)}
+    assert "import-order" in codes
+    assert "trailing-ws" in codes
+    assert "long-line" in codes
+    assert "tab-indent" in codes
+    assert "eof-newline" in codes
+
+
+def test_format_clean_source_passes(tmp_path):
+    f = tmp_path / "good.py"
+    f.write_text(
+        "import os\n\nimport numpy\n\nfrom cortex_tpu import dists\n\n"
+        "x = (os, numpy, dists)\n"
+    )
+    assert formatmod.check_file(f) == []

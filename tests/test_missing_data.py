@@ -221,7 +221,9 @@ def test_hmm_missing_observations_marginalize():
     np.testing.assert_allclose(log_lik_auto, log_lik_manual, atol=1e-6)
 
     post = hmm_forward_backward(
-        jnp.asarray(log_lik_manual), jnp.log(jnp.asarray(A, jnp.float32)), jnp.log(jnp.asarray(pi, jnp.float32))
+        jnp.asarray(log_lik_manual),
+        jnp.log(jnp.asarray(A, jnp.float32)),
+        jnp.log(jnp.asarray(pi, jnp.float32)),
     )
     # Missing steps: marginals are proper distributions driven by neighbors.
     gam = np.exp(np.asarray(post.log_gamma))
@@ -233,7 +235,9 @@ def test_hmm_missing_observations_marginalize():
     oh = jax.nn.one_hot(jnp.asarray(obs_single), M)
     ll = jnp.einsum("tm,km->tk", oh, log_B)
     le_missing = float(
-        hmm_forward_backward(ll, jnp.log(jnp.asarray(A, jnp.float32)), jnp.log(jnp.asarray(pi, jnp.float32))).log_evidence
+        hmm_forward_backward(
+            ll, jnp.log(jnp.asarray(A, jnp.float32)), jnp.log(jnp.asarray(pi, jnp.float32))
+        ).log_evidence
     )
     evs = []
     for sym in range(M):
@@ -244,7 +248,9 @@ def test_hmm_missing_observations_marginalize():
         evs.append(
             float(
                 hmm_forward_backward(
-                    ll2, jnp.log(jnp.asarray(A, jnp.float32)), jnp.log(jnp.asarray(pi, jnp.float32))
+                    ll2,
+                    jnp.log(jnp.asarray(A, jnp.float32)),
+                    jnp.log(jnp.asarray(pi, jnp.float32)),
                 ).log_evidence
             )
         )
