@@ -56,9 +56,15 @@ class MvLGSSM:
     def smooth(self, y: jax.Array, method: str = "assoc") -> MvChainMarginals:
         """Posterior marginals; ``y``: ``(..., T, m)``.
 
-        ``method="assoc"`` (default): time-parallel associative scan (the
-        fast path).  ``method="sqrt"``: sequential QR-factored square-root
-        smoother (:func:`cortex_tpu.ops.sqrt_kalman.sqrt_lgssm_smooth`) — the
+        ``method="blocked"``: two-level blocked scan — block-sequential
+        folds + a B-element cross-block combine (the single-chip form of
+        the time-sharded scheme; the fastest exact-recursion path).
+        ``method="scan"``: sequential filter + RTS scans.
+        ``method="assoc"`` (default): flat time-parallel associative scan —
+        O(log T) depth but O(T log T) work; single-chip, prefer "blocked".
+        ``method="matmul"``: precomputed affine-operator MXU matmul.
+        ``method="sqrt"``: sequential QR-factored square-root smoother
+        (:func:`cortex_tpu.ops.sqrt_kalman.sqrt_lgssm_smooth`) — the
         numerically robust path for ill-conditioned chains in f32/bf16.
         """
         args = (
@@ -71,6 +77,10 @@ class MvLGSSM:
         )
         if method == "assoc":
             return mv_lgssm_smooth(*args)
+        if method == "blocked":
+            from ..ops.chains_mv import mv_lgssm_smooth_blocked
+
+            return mv_lgssm_smooth_blocked(*args)
         if method == "scan":
             from ..ops.chains_mv import mv_lgssm_smooth_seq
 
@@ -84,7 +94,8 @@ class MvLGSSM:
 
             return sqrt_lgssm_smooth(*args)
         raise ValueError(
-            f"unknown method {method!r}; expected 'assoc', 'scan', 'matmul', or 'sqrt'"
+            f"unknown method {method!r}; expected 'blocked', 'assoc', 'scan', "
+            "'matmul', or 'sqrt'"
         )
 
     def _args(self, y):

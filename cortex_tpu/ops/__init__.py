@@ -14,6 +14,7 @@ from .chains_mv import (
     mv_lgssm_filter,
     mv_lgssm_log_evidence,
     mv_lgssm_smooth,
+    mv_lgssm_smooth_blocked,
 )
 from .hmm import HMMPosterior, hmm_forward_backward, hmm_viterbi
 from .cvi import CVIResult, cvi_linear_model
@@ -36,6 +37,7 @@ __all__ = [
     "scalar_kalman_update",
     "MvChainMarginals",
     "mv_lgssm_smooth",
+    "mv_lgssm_smooth_blocked",
     "mv_lgssm_filter",
     "mv_lgssm_log_evidence",
     "HMMPosterior",
