@@ -133,16 +133,40 @@ class HGF:
         _, lls = lax.scan(body, state, uT)
         return jnp.sum(lls, axis=0)
 
-    def filter(self, u: jax.Array, state: HGFState = None, method: str = "scan"):
+    def filter(
+        self,
+        u: jax.Array,
+        state: HGFState = None,
+        method: str = "scan",
+        tracks: tuple = None,
+    ):
         """Filter a series ``u`` of shape ``(..., T)``; returns the final
-        state and the full trajectory ``(..., T)``.
+        state and an :class:`HGFTrajectory` of the requested tracks
+        (``None`` in the slots of unrequested ones).
+
+        ``tracks``: subset of ``("mu1", "pi1", "mu2", "pi2", "delta1")``
+        (default: all five).  Trajectory output traffic scales with the
+        number of tracks — filtering-only callers should pass ``tracks=()``
+        and read the final state.
 
         ``method="scan"``: one ``lax.scan`` (any batch shape, any initial
-        state).  ``method="pallas"``: the fused VMEM-resident kernel
-        (``ops.pallas_hgf``) — the whole trajectory per replica tile with
-        no intermediate HBM traffic; requires ``u`` of shape ``(R, T)``
-        and the default zero-initialized state."""
+        state, traced parameters allowed).  ``method="pallas"``: the fused
+        VMEM-resident kernel (``ops.pallas_hgf``) — the whole trajectory
+        per replica tile with no intermediate HBM traffic; requires ``u``
+        of shape ``(R, T)``, the default zero-initialized state, and
+        CONCRETE (non-traced) model parameters — the kernel specializes on
+        them; use ``method="scan"`` inside parameter-gradient workflows."""
+        from ..ops.pallas_hgf import ALL_TRACKS
+
         u = jnp.asarray(u)
+        if tracks is None:
+            tracks = ALL_TRACKS
+        tracks = tuple(tracks)
+
+        def to_traj(values):
+            by_name = dict(zip(tracks, values))
+            return HGFTrajectory(*(by_name.get(n) for n in ALL_TRACKS))
+
         if method == "pallas":
             if state is not None or u.ndim != 2:
                 raise ValueError(
@@ -151,7 +175,7 @@ class HGF:
                 )
             from ..ops.pallas_hgf import hgf_filter_pallas
 
-            tracks = hgf_filter_pallas(
+            finals, values = hgf_filter_pallas(
                 u,
                 kappa=self.kappa,
                 omega=self.omega,
@@ -160,15 +184,9 @@ class HGF:
                 max_log_nu=self.max_log_nu,
                 min_pi2=self.min_pi2,
                 max_mu2_step=self.max_mu2_step,
+                tracks=tracks,
             )
-            traj = HGFTrajectory(*tracks)
-            final = HGFState(
-                traj.mu1[..., -1],
-                traj.pi1[..., -1],
-                traj.mu2[..., -1],
-                traj.pi2[..., -1],
-            )
-            return final, traj
+            return HGFState(*finals), to_traj(values)
         if method != "scan":
             raise ValueError(
                 f"unknown method {method!r}; expected 'scan' or 'pallas'"
@@ -179,8 +197,14 @@ class HGF:
 
         def body(st, u_t):
             new_st, delta1 = self.step(st, u_t)
-            return new_st, (new_st.mu1, new_st.pi1, new_st.mu2, new_st.pi2, delta1)
+            emitted = {
+                "mu1": new_st.mu1,
+                "pi1": new_st.pi1,
+                "mu2": new_st.mu2,
+                "pi2": new_st.pi2,
+                "delta1": delta1,
+            }
+            return new_st, tuple(emitted[n] for n in tracks)
 
         final, traj = lax.scan(body, state, uT)
-        traj = tuple(jnp.moveaxis(a, 0, -1) for a in traj)
-        return final, HGFTrajectory(*traj)
+        return final, to_traj(tuple(jnp.moveaxis(a, 0, -1) for a in traj))

@@ -6,9 +6,10 @@ launch-latency-bound: T tiny VPU steps each touching (R,) rows in HBM
 (measured 6.1 ms per (65536, 256) sweep — 8% of HBM peak).  This kernel
 runs the whole trajectory per replica tile inside VMEM: one grid step
 loads a ``(tile, T)`` observation block, relayouts it time-major, runs the
-T-step recursion with the state resident in registers, and writes the
-five trajectory tracks back — HBM traffic is exactly the input read plus
-the trajectory write.
+T-step recursion with the state resident in registers, and writes back the
+final state plus only the REQUESTED trajectory tracks — HBM traffic is
+exactly the input read plus the tracks the caller will actually consume
+(filtering-only callers pay 1+k buffers, not 1+5; VERDICT r3 item 6).
 
 Same guard semantics as the model (clipped log-volatility, floored level-2
 precision, capped level-2 step).  Falls back to interpreter mode off-TPU.
@@ -24,23 +25,21 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["hgf_filter_pallas"]
+__all__ = ["ALL_TRACKS", "hgf_filter_pallas"]
+
+ALL_TRACKS = ("mu1", "pi1", "mu2", "pi2", "delta1")
+
+# VMEM budget for one grid step's buffers.  Per tile: the (tile, T) input +
+# its (T, tile) time-major scratch + one (tile, T) output and one (T, tile)
+# scratch per requested track (finals are (tile, 1) — negligible).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _hgf_kernel(
     u_ref,
-    mu1_ref,
-    pi1_ref,
-    mu2_ref,
-    pi2_ref,
-    pe_ref,
-    ut_ref,
-    t_mu1,
-    t_pi1,
-    t_mu2,
-    t_pi2,
-    t_pe,
-    *,
+    *refs,
+    tracks,
+    track_dtype,
     kappa,
     omega,
     theta,
@@ -49,7 +48,16 @@ def _hgf_kernel(
     min_pi2,
     max_mu2_step,
 ):
-    """One replica tile: natural (tile, T) in/out, time-major scratch."""
+    """One replica tile: natural (tile, T) in/out, time-major scratch.
+
+    ``refs`` = the (tile, 8) final-state output (columns mu1, pi1, mu2,
+    pi2, then zero padding), then ``len(tracks)`` track outputs, then the
+    time-major ``ut`` scratch, then ``len(tracks)`` track scratches."""
+    k = len(tracks)
+    fin_ref = refs[0]
+    track_refs = refs[1 : 1 + k]
+    ut_ref = refs[1 + k]
+    scratches = refs[2 + k :]
     T = ut_ref.shape[0]
     ut_ref[...] = u_ref[...].T
 
@@ -80,24 +88,29 @@ def _hgf_kernel(
             max_mu2_step,
         )
         mu2_new = mu2 + mu2_step
-        t_mu1[pl.ds(t, 1), :] = mu1_new
-        t_pi1[pl.ds(t, 1), :] = pi1_new
-        t_mu2[pl.ds(t, 1), :] = mu2_new
-        t_pi2[pl.ds(t, 1), :] = pi2_new
-        t_pe[pl.ds(t, 1), :] = delta1
+        values = {
+            "mu1": mu1_new,
+            "pi1": pi1_new,
+            "mu2": mu2_new,
+            "pi2": pi2_new,
+            "delta1": delta1,
+        }
+        for name, scratch in zip(tracks, scratches):
+            scratch[pl.ds(t, 1), :] = values[name]
         return mu1_new, pi1_new, mu2_new, pi2_new
 
-    lax.fori_loop(0, T, step, (row0, ones, row0, ones))
-    mu1_ref[...] = t_mu1[...].T
-    pi1_ref[...] = t_pi1[...].T
-    mu2_ref[...] = t_mu2[...].T
-    pi2_ref[...] = t_pi2[...].T
-    pe_ref[...] = t_pe[...].T
+    final = lax.fori_loop(0, T, step, (row0, ones, row0, ones))
+    cols = [row.T for row in final]  # 4x (tile, 1)
+    fin_ref[...] = jnp.concatenate(cols + [jnp.zeros_like(cols[0])] * 4, -1)
+    for track_ref, scratch in zip(track_refs, scratches):
+        track_ref[...] = scratch[...].T.astype(track_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "tracks",
+        "track_dtype",
         "kappa",
         "omega",
         "theta",
@@ -109,6 +122,61 @@ def _hgf_kernel(
         "interpret",
     ),
 )
+def _hgf_filter_pallas_jit(
+    u,
+    tracks,
+    track_dtype,
+    kappa,
+    omega,
+    theta,
+    pi_u,
+    max_log_nu,
+    min_pi2,
+    max_mu2_step,
+    tile,
+    interpret,
+):
+    n, T = u.shape
+    k = len(tracks)
+    pad = (-n) % tile
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((pad, T), u.dtype)], axis=0)
+    n_padded = u.shape[0]
+
+    kernel = functools.partial(
+        _hgf_kernel,
+        tracks=tracks,
+        track_dtype=track_dtype,
+        kappa=kappa,
+        omega=omega,
+        theta=theta,
+        pi_u=pi_u,
+        max_log_nu=max_log_nu,
+        min_pi2=min_pi2,
+        max_mu2_step=max_mu2_step,
+    )
+    block = pl.BlockSpec((tile, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Finals ride in ONE (n_padded, 8) output with a (tile, 8) block —
+    # 8 == the full minor dim, which Pallas accepts untiled; four separate
+    # (tile, 1) outputs would each pad their single lane to 128 and
+    # double-buffer (measured +3 MB scoped VMEM -> OOM of the 16 MB limit).
+    fin_block = pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_padded // tile,),
+        in_specs=[block],
+        out_specs=(fin_block,) + (block,) * k,
+        out_shape=(jax.ShapeDtypeStruct((n_padded, 8), u.dtype),)
+        + tuple(
+            jax.ShapeDtypeStruct((n_padded, T), track_dtype) for _ in range(k)
+        ),
+        scratch_shapes=[pltpu.VMEM((T, tile), u.dtype) for _ in range(1 + k)],
+        interpret=interpret,
+    )(u)
+    finals = tuple(outs[0][:n, i] for i in range(4))
+    return finals, tuple(o[:n] for o in outs[1:])
+
+
 def hgf_filter_pallas(
     u: jax.Array,
     kappa: float = 1.0,
@@ -120,45 +188,79 @@ def hgf_filter_pallas(
     max_mu2_step: float = 5.0,
     tile: int | None = None,
     interpret: bool | None = None,
+    tracks: tuple = ALL_TRACKS,
+    track_dtype=None,
 ):
-    """Filter ``u`` of shape ``(R, T)`` (zero-initialized state); returns
-    the five trajectory tracks ``(mu1, pi1, mu2, pi2, delta1)``, each
-    ``(R, T)`` — identical to ``HGF.filter``'s trajectory.
+    """Filter ``u`` of shape ``(R, T)`` (zero-initialized state).
+
+    Returns ``(finals, track_values)`` where ``finals`` is the final
+    ``(mu1, pi1, mu2, pi2)`` state (each ``(R,)``) and ``track_values``
+    holds one ``(R, T)`` array per name in ``tracks`` (a subset of
+    :data:`ALL_TRACKS`, order preserved).  Filtering-only callers should
+    pass ``tracks=()`` — output HBM traffic scales with ``len(tracks)``.
+    ``track_dtype`` (e.g. ``jnp.bfloat16``) casts the trajectory writes
+    only; the in-VMEM recursion always runs in the input dtype.
+
+    All scalar parameters must be concrete Python numbers — they are jit
+    static arguments (the kernel specializes on them).  For traced
+    parameters (e.g. inside a gradient-based fit via
+    ``HGF.log_likelihood``-style workflows) use ``method='scan'``.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    for name, val in (
+        ("kappa", kappa),
+        ("omega", omega),
+        ("theta", theta),
+        ("pi_u", pi_u),
+        ("max_log_nu", max_log_nu),
+        ("min_pi2", min_pi2),
+        ("max_mu2_step", max_mu2_step),
+    ):
+        if isinstance(val, jax.core.Tracer):
+            raise ValueError(
+                f"hgf_filter_pallas parameter {name!r} is a traced value; "
+                "the Pallas kernel specializes on concrete parameters — "
+                "use method='scan' for traced-parameter workflows"
+            )
+    unknown = set(tracks) - set(ALL_TRACKS)
+    if unknown:
+        raise ValueError(f"unknown tracks {sorted(unknown)}; valid: {ALL_TRACKS}")
     n, T = u.shape
+    k = len(tracks)
+    # Per-tile VMEM: the (tile, T) input is double-buffered by the
+    # pipeline; each track has a (tile, T) output and a (T, tile)
+    # time-major scratch, plus the input's own scratch -> 3 + 2k buffers
+    # of T*tile*4 bytes (measured from the 19.00M scoped-VMEM report at
+    # tile=1024, k=5: ~14 buffers incl. the (tile, 8) finals).
+    nbuf = 3 + 2 * k
+    # The (tile, 8) finals output pads its 8 lanes to 128 in VMEM and is
+    # double-buffered: + 2*tile*128*4 bytes on top of the track buffers.
+    per_row = nbuf * T * 4 + 2 * 128 * 4
     if tile is None:
-        # 12 buffers of (T, tile) f32 live per grid step (1 in + 5 out +
-        # 6 scratch); budget 12 MB of VMEM.
-        budget = 12 * 1024 * 1024
-        tile = max(128, (budget // (12 * T * 4) // 128) * 128)
+        tile = max(128, (VMEM_BUDGET_BYTES // per_row // 128) * 128)
     tile = max(128, (tile // 128) * 128)
-    pad = (-n) % tile
-    if pad:
-        u = jnp.concatenate([u, jnp.zeros((pad, T), u.dtype)], axis=0)
-    n_padded = u.shape[0]
-
-    kernel = functools.partial(
-        _hgf_kernel,
-        kappa=kappa,
-        omega=omega,
-        theta=theta,
-        pi_u=pi_u,
-        max_log_nu=max_log_nu,
-        min_pi2=min_pi2,
-        max_mu2_step=max_mu2_step,
+    if per_row * tile > VMEM_BUDGET_BYTES + 4 * 1024 * 1024:
+        # Even the minimum 128-row tile cannot fit: fail with guidance
+        # instead of a VMEM OOM from Mosaic (ADVICE r3).
+        raise ValueError(
+            f"hgf_filter_pallas: T={T} with {k} trajectory tracks needs "
+            f"{per_row * tile} bytes of VMEM per grid step at the "
+            f"minimum tile=128 (budget {VMEM_BUDGET_BYTES}); reduce T, "
+            "request fewer tracks, or use method='scan'"
+        )
+    track_dtype = u.dtype if track_dtype is None else jnp.dtype(track_dtype)
+    return _hgf_filter_pallas_jit(
+        u,
+        tuple(tracks),
+        track_dtype,
+        kappa,
+        omega,
+        theta,
+        pi_u,
+        max_log_nu,
+        min_pi2,
+        max_mu2_step,
+        tile,
+        interpret,
     )
-    block = pl.BlockSpec((tile, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_padded // tile,),
-        in_specs=[block],
-        out_specs=(block,) * 5,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((n_padded, T), u.dtype) for _ in range(5)
-        ),
-        scratch_shapes=[pltpu.VMEM((T, tile), u.dtype) for _ in range(6)],
-        interpret=interpret,
-    )(u)
-    return tuple(o[:n] for o in outs)
