@@ -76,8 +76,13 @@ def _section(name, fn, *args, retries=1, **kwargs):
     return {"error": err}
 
 
-def _serial_sweep_time(fn, y0, K, aux=()):
-    """Device seconds per fn(y, *aux)-sweep: K serialized sweeps per call.
+def _serial_sweep_stats(fn, y0, K, aux=(), repeats=3):
+    """Per-sweep device time statistics: ``repeats`` timed calls of K
+    serialized fn(y, *aux)-sweeps each, distinct salt per call (defeats the
+    remote execution cache).  Returns ``(median_seconds, stats_dict)`` —
+    the tunnel shows 25%+ run-to-run swings (scan 319 vs 400 us across the
+    two committed r03 runs), so single measurements must not silently
+    decide ``best_method`` (VERDICT r3 item 3).
 
     ``y0`` (and any large operands in ``aux``) are passed as jit ARGUMENTS,
     not closed over: a closure constant is inlined into the HLO payload
@@ -99,9 +104,27 @@ def _serial_sweep_time(fn, y0, K, aux=()):
 
     salt = float(time.time_ns() % 100_000) / 1000.0
     float(g(salt, y0, tuple(aux)))  # compile + warm
-    t0 = time.perf_counter()
-    float(g(salt + 0.5, y0, tuple(aux)))
-    return (time.perf_counter() - t0) / K
+    times = []
+    for k in range(repeats):
+        t0 = time.perf_counter()
+        float(g(salt + 0.5 + 0.25 * k, y0, tuple(aux)))
+        times.append((time.perf_counter() - t0) / K)
+    times.sort()
+    mid = len(times) // 2
+    med = times[mid] if len(times) % 2 else 0.5 * (times[mid - 1] + times[mid])
+    stats = {
+        "median_us": round(med * 1e6, 1),
+        "min_us": round(times[0] * 1e6, 1),
+        "max_us": round(times[-1] * 1e6, 1),
+        "repeats": repeats,
+    }
+    return med, stats
+
+
+def _serial_sweep_time(fn, y0, K, aux=(), repeats=1):
+    """Median device seconds per sweep (see :func:`_serial_sweep_stats`)."""
+    med, _ = _serial_sweep_stats(fn, y0, K, aux=aux, repeats=repeats)
+    return med
 
 
 def _make_data(R):
@@ -114,7 +137,12 @@ def _make_data(R):
 
 
 def bench_paths(R, K):
-    """Sweep seconds per path at R replicas (+ matched-traffic probe)."""
+    """Per-path sweep-time stats at R replicas (+ matched-traffic probe).
+
+    ``matmul_bf16`` is the precision-policy configuration (docs/precision.md:
+    bf16 on the MXU edge, f32 accumulation): y and the (T, T) operator cast
+    to bf16, accumulated f32 via ``preferred_element_type`` (VERDICT r3
+    item 2)."""
     import jax.numpy as jnp
 
     from cortex_tpu.models import LGSSM
@@ -123,16 +151,32 @@ def bench_paths(R, K):
 
     model = LGSSM(A=1.0, Q=1.0, H=1.0, R=1.0)
     op = lgssm_smoother_operator(T)
+    S_bf16 = op[0].astype(jnp.bfloat16)
+    c_f32, v_f32 = op[1], op[2]
+
+    def matmul_bf16(y, S, c, v):
+        mean = (
+            jnp.einsum(
+                "rt,tj->rj",
+                y.astype(jnp.bfloat16),
+                S,
+                preferred_element_type=jnp.float32,
+            )
+            + c
+        )
+        return mean, jnp.broadcast_to(v, y.shape)
+
     y0 = _make_data(R)
-    # The (T,T) operator rides as a jit argument (see _serial_sweep_time).
+    # The (T,T) operator rides as a jit argument (see _serial_sweep_stats).
     paths = {
         "matmul": (lambda y, o: lgssm_smooth_matmul(y, operator=o), (op,)),
+        "matmul_bf16": (matmul_bf16, (S_bf16, c_f32, v_f32)),
         "scan": (lambda y: model.smooth(y, method="scan"), ()),
         "pallas": (lambda y: lgssm_smooth_pallas(y, tile=2048), ()),
         "probe": (lambda y: (y * 1.000001, y + 0.5), ()),
     }
     return {
-        name: _serial_sweep_time(fn, y0, K, aux=aux)
+        name: _serial_sweep_stats(fn, y0, K, aux=aux)[1]
         for name, (fn, aux) in paths.items()
     }
 
@@ -169,7 +213,7 @@ def bench_generic_compiled(R, K):
         return fam.mean, fam.variance
 
     lowered = bool(compiled.plan is not None and compiled.plan.scan_segments)
-    dt = _serial_sweep_time(fn, y0, K)
+    dt = _serial_sweep_time(fn, y0, K, repeats=3)
     # Back-to-back scan reference in the SAME section: the tunnel's
     # run-to-run variance (observed 2x on the matmul path) would otherwise
     # pollute the executor-overhead ratio computed against a scan number
@@ -182,8 +226,107 @@ def bench_generic_compiled(R, K):
         m = model.smooth(d, method="scan")
         return m.mean, m.variance
 
-    dt_scan = _serial_sweep_time(scan_fn, y0, K)
+    dt_scan = _serial_sweep_time(scan_fn, y0, K, repeats=3)
     return dt, lowered, dt_scan
+
+
+def bench_generic_vmp(R, K, n=100, iters=4):
+    """The compiled MEAN-FIELD VMP path vs a hand-written jnp Jacobi sweep
+    of the same updates (VERDICT r3 item 5).
+
+    Model: the reference's mean-field gold SSM (unknown process/observation
+    precisions, ``test/inference_engine_tests.jl:593-805``) as a factor
+    graph (``models/vmp_graph.py``), replica-batched to R by feeding (R,)
+    values through the frozen y-marginal initials.  The hand-written sweep
+    reproduces the compiled dataflow semantics exactly (all messages from
+    the previous sweep's marginals, then all marginals — synchronous
+    Jacobi), so the two fixed points agree to float tolerance; the ratio of
+    their per-iteration device times is pure compiled-path overhead."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cortex_tpu.compile import CompiledInference, dep_role_key
+    from cortex_tpu.models import MeanFieldSSMBatched, make_mean_field_ssm_graph
+
+    engine, x, y, ssnoise, obsnoise = make_mean_field_ssm_graph(n, [0.0] * n)
+    compiled = CompiledInference(
+        engine,
+        [ssnoise, obsnoise] + x,
+        MeanFieldSSMBatched(),
+        refine_key=dep_role_key,
+    )
+    base_state = compiled.initial_state()
+    y_pos = {id(engine.get_variable_marginal(v)): i for i, v in enumerate(y)}
+
+    def compiled_fn(data):  # data: (R, n)
+        state = []
+        for s, v in zip(compiled.schedule.initials, base_state):
+            if id(s) in y_pos:
+                state.append(data[:, y_pos[id(s)]])
+            else:
+                state.append(
+                    jax.tree_util.tree_map(
+                        lambda a: jnp.broadcast_to(
+                            jnp.asarray(a), (R,) + jnp.shape(a)
+                        ),
+                        v,
+                    )
+                )
+        marg, _ = compiled.iterate({}, iters, state)
+        return marg[ssnoise].mean, marg[obsnoise].mean, marg[x[0]].mean
+
+    def handwritten_fn(data):
+        def sweep(carry, _):
+            qm, qv, qss_mean, qobs_mean = carry
+            lik_prec = qobs_mean[:, None]
+            trans = qss_mean[:, None]
+            has_l = jnp.pad(jnp.ones_like(qm[:, 1:]), ((0, 0), (1, 0)))
+            has_r = jnp.pad(jnp.ones_like(qm[:, :-1]), ((0, 0), (0, 1)))
+            prec = lik_prec + trans * (has_l + has_r)
+            wmean = (
+                lik_prec * data
+                + trans * jnp.pad(qm[:, :-1], ((0, 0), (1, 0)))
+                + trans * jnp.pad(qm[:, 1:], ((0, 0), (0, 1)))
+            )
+            qm_new = wmean / prec
+            qv_new = 1.0 / prec
+            rate_obs = 0.5 * (qv + (data - qm) ** 2)
+            qobs_new = (1.5 * n - (n - 1.0)) / jnp.sum(rate_obs, axis=1)
+            rate_ss = 0.5 * (
+                qv[:, :-1] + qv[:, 1:] + (qm[:, :-1] - qm[:, 1:]) ** 2
+            )
+            qss_new = (1.5 * (n - 1.0) - (n - 2.0)) / jnp.sum(rate_ss, axis=1)
+            return (qm_new, qv_new, qss_new, qobs_new), None
+
+        init = (
+            jnp.zeros_like(data),
+            jnp.ones_like(data),
+            jnp.ones(data.shape[0], data.dtype),
+            jnp.ones(data.shape[0], data.dtype),
+        )
+        (qm, qv, qss, qobs), _ = lax.scan(sweep, init, None, length=iters)
+        return qss, qobs, qm[:, 0]
+
+    y0 = _make_data(R)[:, :n] * 0.1
+    # Fixed-point agreement (same data, no salt): proves the handwritten
+    # loop IS the same algorithm before its time is used as a denominator.
+    a = jax.jit(compiled_fn)(y0)
+    b = jax.jit(handwritten_fn)(y0)
+    agree = max(
+        float(jnp.max(jnp.abs(ai - bi) / (jnp.abs(bi) + 1e-6)))
+        for ai, bi in zip(a, b)
+    )
+    dt_c, stats_c = _serial_sweep_stats(compiled_fn, y0, K)
+    dt_h, stats_h = _serial_sweep_stats(handwritten_fn, y0, K)
+    return {
+        "replicas": R, "n": n, "iters_per_call": iters,
+        "per_iter_us_compiled": round(dt_c / iters * 1e6, 1),
+        "per_iter_us_handwritten": round(dt_h / iters * 1e6, 1),
+        "call_stats_us": {"compiled": stats_c, "handwritten": stats_h},
+        "ratio_vs_handwritten": round(dt_c / dt_h, 2),
+        "agreement_max_rel": round(agree, 6),
+    }
 
 
 def bench_dynamic_engine(T=100, sweeps=3):
@@ -289,18 +432,23 @@ def _ladder_hmm(K, method="scan"):
         )
         return res.state.trans_alpha, res.state.emis_alpha, res.elbo
 
-    dt = _serial_sweep_time(fn, base, K) / iters
+    dt, stats = _serial_sweep_stats(fn, base, K)
+    dt /= iters
+    stats = {k: round(v / iters, 1) if k != "repeats" else v
+             for k, v in stats.items()}
     return {
         "replicas": R_, "T": T_, "K": Kh, "M": M,
-        "per_vmp_iter_us": round(dt * 1e6, 1),
+        "per_vmp_iter_us": stats,
         # One VMP iteration touches R*T state marginals + R*(T-1) pairwise
         # counts + R*T emission contributions ≈ 3 updates per step.
         "msg_updates_per_s": round(R_ * T_ * 3 / dt, 1),
     }
 
 
-def _ladder_gmm(K):
-    """GMM structured VMP (R independent replicas)."""
+def _ladder_gmm(K, hbm_peak, mxu_peak):
+    """GMM structured VMP (R independent replicas) — anchored: XLA FLOP
+    count, achieved TFLOP/s vs bf16 spec peak, a matched-traffic probe, and
+    the binding resource named from the two ratios (VERDICT r3 item 7)."""
     import jax
     import jax.numpy as jnp
 
@@ -319,16 +467,57 @@ def _ladder_gmm(K):
         res = gmm.fit(data, n_iterations=giters)
         return res.posterior.m, res.posterior.alpha, res.free_energy
 
-    dt = _serial_sweep_time(gmm_fn, xg, K) / giters
+    dt, stats = _serial_sweep_stats(gmm_fn, xg, K)
+    dt /= giters
+    stats = {k: round(v / giters, 1) if k != "repeats" else v
+             for k, v in stats.items()}
+    flops = _flops_of(gmm_fn, xg) / giters
+    # Matched-traffic probe: per iteration the E-step reads x (R,N,D) and
+    # writes responsibilities (R,N,K); the M-step reductions touch (R,K,·)
+    # (negligible).  Probe = read x once, write a (R,N,K) output.
+    def probe_fn(data):
+        return data * 1.000001, jnp.broadcast_to(
+            data.sum(-1, keepdims=True), (Rg, N, Kg)
+        )
+
+    dt_probe = _serial_sweep_time(probe_fn, xg, max(8, K))
+    bytes_iter = (Rg * N * D + Rg * N * Kg) * 4
+    achieved_tflops = flops / dt / 1e12
+    pct_mxu = 100 * achieved_tflops / mxu_peak
+    pct_hbm = 100 * bytes_iter / dt / 1e9 / hbm_peak
+    binding = (
+        "latency/launch-bound: neither FLOPs nor HBM traffic explains the "
+        "iteration time — at (256,256,2,4) both utilizations are <5%; the "
+        "time is XLA fusion count x dispatch latency on tiny operands. "
+        "pct_matched_probe > 100 means the path BEATS its own naive "
+        "traffic model: inside the serialized fori_loop XLA fuses the "
+        "E/M steps so responsibilities never round-trip HBM, while the "
+        "probe materializes them"
+        if max(pct_mxu, pct_hbm) < 5.0
+        else ("VPU/MXU compute" if pct_mxu > pct_hbm else "HBM bandwidth")
+    )
     return {
         "replicas": Rg, "N": N, "D": D, "K": Kg,
-        "per_vmp_iter_us": round(dt * 1e6, 1),
+        "per_vmp_iter_us": stats,
         "resp_updates_per_s": round(Rg * N * Kg / dt, 1),
+        "xla_flops_per_iter": flops,
+        "achieved_tflops": round(achieved_tflops, 3),
+        "pct_of_bf16_peak": round(pct_mxu, 2),
+        "bytes_per_iter": bytes_iter,
+        "pct_hbm_spec_peak": round(pct_hbm, 1),
+        "matched_probe_us": round(dt_probe * 1e6, 1),
+        "pct_matched_probe": round(100 * dt_probe / dt, 1),
+        "binding_resource": binding,
     }
 
 
 def _ladder_mv(K, mxu_peak):
-    """MvLGSSM smoothing (MXU path; MFU against bf16 spec peak)."""
+    """MvLGSSM smoothing: all five lowerings + the bf16-edge matmul.
+
+    ``matmul_bf16`` is the precision policy's configuration (bf16 inputs +
+    bf16 operator, f32 accumulation); its MFU against the bf16 spec peak is
+    the honest MXU-utilization number (VERDICT r3 item 2).  ``blocked`` is
+    the two-level lane-major scan (r4) — the fastest exact-recursion path."""
     import jax
     import jax.numpy as jnp
 
@@ -352,39 +541,68 @@ def _ladder_mv(K, mxu_peak):
         op = mv_lgssm_smoother_operator(
             T, m.A, m.Q, m.H, m.R, (m.m0, m.P0)
         )
+        L_bf16 = op.L.astype(jnp.bfloat16)
+
+        def mm_bf16(v, L, c, cov, d=d):
+            flat = v.reshape(v.shape[:-2] + (T * d,)).astype(jnp.bfloat16)
+            mean = (
+                jnp.einsum(
+                    "rk,kj->rj", flat, L,
+                    preferred_element_type=jnp.float32,
+                ).reshape(v.shape[:-2] + (T, d))
+                + c
+            )
+            return mean, jnp.broadcast_to(cov, v.shape[:-2] + cov.shape)
+
         per_method = {}
-        for method, Km in (("scan", K), ("assoc", max(4, K // 8))):
+        for method, Km in (
+            ("scan", K),
+            ("blocked", K),
+            ("assoc", max(4, K // 8)),
+        ):
             fn = lambda v, meth=method: m.smooth(v, method=meth)
-            per_method[method] = (_serial_sweep_time(fn, ym, Km), fn, ())
+            med, stats = _serial_sweep_stats(fn, ym, Km)
+            per_method[method] = (med, stats, fn, ())
         mm_fn = lambda v, o: mv_lgssm_smooth_matmul(v, operator=o)
-        per_method["matmul"] = (
-            _serial_sweep_time(mm_fn, ym, K, aux=(op,)),
-            mm_fn,
-            (op,),
+        med, stats = _serial_sweep_stats(mm_fn, ym, K, aux=(op,))
+        per_method["matmul"] = (med, stats, mm_fn, (op,))
+        med, stats = _serial_sweep_stats(
+            mm_bf16, ym, K, aux=(L_bf16, op.c, op.cov)
         )
+        per_method["matmul_bf16"] = (med, stats, mm_bf16, (L_bf16, op.c, op.cov))
+
         best_method = min(per_method, key=lambda k: per_method[k][0])
-        dt, best_fn, best_aux = per_method[best_method]
+        dt, _, best_fn, best_aux = per_method[best_method]
         flops = _flops_of(best_fn, ym, *best_aux)
+        dt_bf16 = per_method["matmul_bf16"][0]
+        flops_bf16 = _flops_of(mm_bf16, ym, L_bf16, op.c, op.cov)
         out[f"d{d}"] = {
             "replicas": Rm, "T": T,
-            "sweep_us": {k: round(v[0] * 1e6, 1) for k, v in per_method.items()},
+            "sweep_us": {k: v[1] for k, v in per_method.items()},
             "best_method": best_method,
             "xla_flops_per_sweep": flops,
             "achieved_tflops": round(flops / dt / 1e12, 2),
             "mfu_pct_of_bf16_peak": round(100 * flops / dt / 1e12 / mxu_peak, 2),
-            "note": "f32 compute; MFU denominator is the bf16 spec peak; "
-            "assoc trades 2x combine work for O(log T) depth (pays off "
-            "time-sharded, not single-chip)",
+            "mfu_pct_bf16_edge_path": round(
+                100 * flops_bf16 / dt_bf16 / 1e12 / mxu_peak, 2
+            ),
+            "note": "matmul_bf16 = the precision policy's bf16-edge config "
+            "(bf16 operator+inputs, f32 accumulation; accuracy delta in "
+            "docs/precision_results.json); blocked = two-level lane-major "
+            "scan; assoc kept for the record (flat O(T log T) network)",
         }
     return out
 
 
 def _ladder_hgf(K, hbm_peak):
-    """Streaming HGF filtering."""
+    """Streaming HGF filtering: full-trajectory and trimmed-track kernel
+    configs (opt-in tracks, VERDICT r3 item 6).  ``pct_hbm_peak`` is
+    computed per config with that config's own traffic."""
     import jax
     import jax.numpy as jnp
 
     from cortex_tpu.models import HGF
+    from cortex_tpu.ops.pallas_hgf import hgf_filter_pallas
 
     Rh, Th = 65536, 256
     key = jax.random.PRNGKey(9)
@@ -393,23 +611,51 @@ def _ladder_hgf(K, hbm_peak):
     )
     hgf = HGF()
 
-    def hgf_fn(method):
+    def all5(method):
         def fn(data):
             final, traj = hgf.filter(data, method=method)
             return final, traj.mu1, traj.mu2
         return fn
 
-    us = {
-        m: _serial_sweep_time(hgf_fn(m), uh, K) for m in ("scan", "pallas")
+    def filter_only(data):
+        final, _ = hgf.filter(data, method="pallas", tracks=())
+        return final
+
+    def mu_bf16(data):
+        final, tr = hgf_filter_pallas(
+            data, tracks=("mu1", "mu2"), track_dtype=jnp.bfloat16
+        )
+        return final, tr
+
+    # (config, fn, f32-equivalent buffer count for traffic accounting)
+    configs = {
+        "scan": (all5("scan"), 6.0),
+        "pallas": (all5("pallas"), 6.0),
+        "pallas_filter_only": (filter_only, 1.0),
+        "pallas_mu_bf16": (mu_bf16, 2.0),  # 1 f32 read + 2 bf16 writes
     }
-    dt = min(us.values())
-    bytes_traffic = (1 + 5) * Rh * Th * 4  # read u, write 5-track trajectory
+    out_cfg = {}
+    meds = {}
+    for name, (fn, bufs) in configs.items():
+        med, stats = _serial_sweep_stats(fn, uh, K)
+        meds[name] = med
+        stats["pct_hbm_peak"] = round(
+            100 * bufs * Rh * Th * 4 / med / 1e9 / hbm_peak, 1
+        )
+        out_cfg[name] = stats
+    dt = meds["pallas_filter_only"]
     return {
         "replicas": Rh, "T": Th,
-        "sweep_us": {m: round(v * 1e6, 1) for m, v in us.items()},
-        "best_method": min(us, key=us.get),
+        "sweep_us": out_cfg,
+        "best_method": min(meds, key=meds.get),
+        # Headline = the streaming-filtering configuration (final state
+        # only); trajectory configs are reported above.
         "obs_per_s": round(Rh * Th / dt, 1),
-        "pct_hbm_peak": round(100 * bytes_traffic / dt / 1e9 / hbm_peak, 1),
+        "pct_hbm_peak": out_cfg["pallas_filter_only"]["pct_hbm_peak"],
+        "note": "trimmed-track configs are serial-recursion compute-bound, "
+        "not HBM-bound: T sequential VPU steps per tile put the floor at "
+        "~grid*T*(chain_depth) cycles, so pct_hbm_peak is the binding "
+        "metric only for the full-trajectory configs",
     }
 
 
@@ -434,7 +680,9 @@ def bench_ladder(peaks, K=40):
     )
     out = {
         "hmm": _section("ladder.hmm_scan", _ladder_hmm, K, "scan", retries=0),
-        "gmm": _section("ladder.gmm", _ladder_gmm, K, retries=0),
+        "gmm": _section(
+            "ladder.gmm", _ladder_gmm, K, hbm_peak, mxu_peak, retries=0
+        ),
         "mv_lgssm": _section("ladder.mv", _ladder_mv, K, mxu_peak, retries=0),
         "hgf": _section("ladder.hgf", _ladder_hgf, K, hbm_peak, retries=0),
     }
@@ -447,7 +695,9 @@ def bench_ladder(peaks, K=40):
             "pallas": hmm_pallas.get("per_vmp_iter_us", hmm_pallas.get("error")),
         }
         out["hmm"]["per_vmp_iter_us"] = variants
-        timed = [v for v in variants.values() if isinstance(v, (int, float))]
+        timed = [
+            v["median_us"] for v in variants.values() if isinstance(v, dict)
+        ]
         if timed:
             best = min(timed) * 1e-6
             h = out["hmm"]
@@ -488,6 +738,9 @@ def main():
         generic_dt, generic_lowered, generic_scan_dt = None, False, None
     else:
         generic_dt, generic_lowered, generic_scan_dt = generic
+    generic_vmp = _section(
+        "generic_vmp", bench_generic_vmp, replicas, 40, retries=1
+    )
     # MFU numerator for the matmul path — computed BEFORE the ladder, whose
     # kernels have crashed the remote worker and taken the backend with them.
     try:
@@ -501,16 +754,16 @@ def main():
         mm_flops = 0.0
     ladder = bench_ladder(peaks)
 
-    probe = primary.pop("probe")
+    probe = primary.pop("probe")["median_us"] * 1e-6
     scale_failed = "error" in scale
     if scale_failed:
         scale_err = scale["error"]
         scale, probe_100k, dt100k = {}, None, None
     else:
-        probe_100k = scale.pop("probe")
-        dt100k = min(scale.values())
-    best = min(primary, key=primary.get)
-    dt = primary[best]
+        probe_100k = scale.pop("probe")["median_us"] * 1e-6
+        dt100k = min(s["median_us"] for s in scale.values()) * 1e-6
+    best = min(primary, key=lambda k: primary[k]["median_us"])
+    dt = primary[best]["median_us"] * 1e-6
     updates_per_sweep = replicas * (3 * T - 2)
     updates_per_s = updates_per_sweep / dt
     baseline_updates_per_s = bench_dynamic_engine(T)
@@ -536,11 +789,9 @@ def main():
             "T": T,
             "best_path": best,
             "sweeps_per_sec": round(1.0 / dt, 2),
-            "sweep_device_us": {k: round(v * 1e6, 1) for k, v in primary.items()},
+            "sweep_device_us": primary,
             "sweep_device_us_100k_replicas": (
-                {"error": scale_err}
-                if scale_failed
-                else {k: round(v * 1e6, 1) for k, v in scale.items()}
+                {"error": scale_err} if scale_failed else scale
             ),
             "msg_updates_per_s_100k_replicas": (
                 None
@@ -557,10 +808,28 @@ def main():
                     100.0 * bytes_per_sweep / dt / 1e9 / hbm_peak, 1
                 ),
                 "mfu_pct_matmul_path": round(
-                    100.0 * mm_flops / primary["matmul"] / 1e12 / mxu_peak, 2
+                    100.0
+                    * mm_flops
+                    / (primary["matmul"]["median_us"] * 1e-6)
+                    / 1e12
+                    / mxu_peak,
+                    2,
+                ),
+                "mfu_pct_matmul_bf16_path": round(
+                    100.0
+                    * mm_flops
+                    / (primary["matmul_bf16"]["median_us"] * 1e-6)
+                    / 1e12
+                    / mxu_peak,
+                    2,
                 ),
                 "regime_10k": "latency/launch-bound (12MB footprint; the "
                 "matched probe itself runs far below HBM peak at this size)",
+                "probe_note": "pct_matched_probe ~100% means the path "
+                "matches an ideal copy of its own traffic; the residual "
+                "gap to spec peak at 100k is the PROBE's own inefficiency "
+                "at a 120 MB footprint (the 1 GB hw_peaks probe comes "
+                "closer), not path headroom",
                 "probe_us_100k": (
                     None if scale_failed else round(probe_100k * 1e6, 1)
                 ),
@@ -594,6 +863,7 @@ def main():
                 if generic_dt is not None
                 else generic
             ),
+            "generic_vmp": generic_vmp,
             "ladder": ladder,
             "methodology": "K serialized sweeps per jit call (fori_loop, "
             "output-fed), time-salted inputs, scalar fetch; amortizes the "

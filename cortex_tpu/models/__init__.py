@@ -28,6 +28,10 @@ from .gpc import GPClassifier, GPCPosterior
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
+from .vmp_graph import (
+    MeanFieldSSMBatched,
+    make_mean_field_ssm_graph,
+)
 from .lgssm_graph import (
     LGSSMChainBatched,
     LGSSMChainDynamic,
@@ -48,6 +52,8 @@ __all__ = [
     "LGSSMChainDynamic",
     "ScalarNormal",
     "make_chain_graph",
+    "MeanFieldSSMBatched",
+    "make_mean_field_ssm_graph",
     "BOCPD",
     "BOCPDResult",
     "GaussianNIG",
