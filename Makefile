@@ -1,7 +1,7 @@
 # Developer targets (parity with the reference's Makefile: test / benchmark /
 # format / docs).
 
-.PHONY: test test-fast lint format bench bench-save bench-judge native clean docs tpu-check crossover precision compiler-scale
+.PHONY: test test-fast lint format bench bench-save bench-judge native clean docs docs-html weak-scaling tpu-check crossover precision compiler-scale
 
 test:
 	python -m pytest tests/ -q
@@ -59,6 +59,14 @@ native:
 
 docs:
 	@ls docs/*.md
+
+# Static HTML build of the docs (Documenter.jl analogue; no-pip renderer).
+docs-html:
+	python tools/docs_build.py
+
+# Weak-scaling curves on virtual devices; writes SCALING_r03.json.
+weak-scaling:
+	python benchmarks/weak_scaling_bench.py
 
 clean:
 	rm -rf cortex_tpu/native/_signal_core.so **/__pycache__ .pytest_cache

@@ -329,6 +329,81 @@ def bench_generic_vmp(R, K, n=100, iters=4):
     }
 
 
+def bench_generic_structured(R, K, n=100, iters=4):
+    """On-chip per-iteration cost of the compiled STRUCTURED VMP path —
+    the third model family through the generic compiler (pairwise 2×2
+    joint marginals over transition clusters,
+    ``models/structured_graph.py``; reference gold model
+    ``test/inference_engine_tests.jl:807-1147``).
+
+    One ``iterate(steady_state=True)`` call = 1 dataflow-ordered
+    WARM-START sweep (207 phases for this graph — its ProductOfMessages
+    chains serialize the dataflow order) + (iters-1) Jacobi steady-state
+    sweeps (ONE phase of 13 batched groups).  Long VMP runs amortize the
+    warm start, so the number that matters is the steady-state
+    per-iteration cost; both are reported, decomposed from two call
+    lengths via t(i) = warm + (i-1)·steady."""
+    import jax
+    import jax.numpy as jnp
+
+    from cortex_tpu.compile import CompiledInference, dep_role_key
+    from cortex_tpu.models import (
+        StructuredSSMBatched,
+        make_structured_ssm_graph,
+    )
+
+    engine, x, y, ssnoise, obsnoise = make_structured_ssm_graph(n, [0.0] * n)
+    compiled = CompiledInference(
+        engine,
+        [ssnoise, obsnoise] + x,
+        StructuredSSMBatched(),
+        refine_key=dep_role_key,
+    )
+    base_state = compiled.initial_state()
+    y_pos = {id(engine.get_variable_marginal(v)): i for i, v in enumerate(y)}
+
+    def fn(data, n_it):
+        state = []
+        for s, v in zip(compiled.schedule.initials, base_state):
+            if id(s) in y_pos:
+                state.append(data[:, y_pos[id(s)]])
+            else:
+                state.append(
+                    jax.tree_util.tree_map(
+                        lambda a: jnp.broadcast_to(
+                            jnp.asarray(a), (R,) + jnp.shape(a)
+                        ),
+                        v,
+                    )
+                )
+        marg, _ = compiled.iterate({}, n_it, state, steady_state=True)
+        return marg[ssnoise].mean, marg[obsnoise].mean, marg[x[0]].mean
+
+    y0 = _make_data(R)[:, :n] * 0.1
+    iters2 = iters + 8
+    fn_long = lambda data: fn(data, iters2)
+    fn_short = lambda data: fn(data, iters)
+    dt_s, stats_s = _serial_sweep_stats(fn_short, y0, K)
+    dt_l, stats_l = _serial_sweep_stats(fn_long, y0, max(4, K // 2))
+    steady = max(1e-9, (dt_l - dt_s) / (iters2 - iters))
+    warm = max(0.0, dt_s - (iters - 1) * steady)
+    return {
+        "replicas": R, "n": n,
+        "warm_start_sweep_us": round(warm * 1e6, 1),
+        "steady_iter_us": round(steady * 1e6, 1),
+        "call_stats_us": {
+            f"iters{iters}": stats_s,
+            f"iters{iters2}": stats_l,
+        },
+        # Each steady iteration computes (n-1) joint 2x2 marginals + n
+        # individual marginals + 2 precision posteriors per replica.
+        "joint_updates_per_s": round(R * (n - 1) / steady, 1),
+        "note": "warm start = the dataflow-ordered first sweep (207 "
+        "serialized phases); steady = the one-phase Jacobi sweep that "
+        "all subsequent iterations run",
+    }
+
+
 def bench_dynamic_engine(T=100, sweeps=3):
     """Reference-architecture baseline: dynamic reactive engine on one chain."""
     from cortex_tpu.models import LGSSMChainDynamic, make_chain_graph
@@ -741,6 +816,9 @@ def main():
     generic_vmp = _section(
         "generic_vmp", bench_generic_vmp, replicas, 40, retries=1
     )
+    generic_structured = _section(
+        "generic_structured", bench_generic_structured, replicas, 4, retries=1
+    )
     # MFU numerator for the matmul path — computed BEFORE the ladder, whose
     # kernels have crashed the remote worker and taken the backend with them.
     try:
@@ -864,6 +942,7 @@ def main():
                 else generic
             ),
             "generic_vmp": generic_vmp,
+            "generic_structured": generic_structured,
             "ladder": ladder,
             "methodology": "K serialized sweeps per jit call (fori_loop, "
             "output-fed), time-salted inputs, scalar fetch; amortizes the "

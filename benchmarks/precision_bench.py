@@ -57,6 +57,18 @@ def _f64_oracle_scalar(y, A, Q, H, R):
 
 
 def accuracy_tables():
+    """Accuracy rows.  Forced onto the CPU backend: the f64 oracles
+    degrade on TPU (f64 matmuls run through lower-precision passes —
+    regenerating there inflated the mv f32 rows from ~1e-6 to ~1e-2 of
+    pure oracle error), and accuracy is device-independent anyway."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _accuracy_tables_impl()
+
+
+def _accuracy_tables_impl():
     import jax
     import jax.numpy as jnp
 

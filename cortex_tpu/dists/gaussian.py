@@ -108,6 +108,40 @@ def from_mean_precision(mean, precision) -> Gaussian:
     return Gaussian(mean * precision, precision)
 
 
+
+def _spd_solve_logdet(M, B):
+    """Batched ``solve(M, B)`` + ``log det M`` for small SPD ``M`` via
+    pivotless Gauss-Jordan — replacing the LU/getrf custom calls that
+    ``jnp.linalg.solve``/``inv``/``slogdet`` lower to.  Batched tiny-matrix
+    custom calls dominated the compiled structured-VMP sweep on TPU
+    (measured 680 ms/iter at 10k replicas of 2×2 inverses; the closed
+    elimination removes them).  Pivotless elimination is PROVABLY valid
+    here: an SPD matrix has strictly positive leading principal minors, so
+    every pivot is nonzero.  Falls back to LAPACK lowering above d = 32
+    (same threshold as ops/chains_mv)."""
+    d = M.shape[-1]
+    if d > 32:
+        sol = jnp.linalg.solve(M, B)
+        _, logdet = jnp.linalg.slogdet(M)
+        return sol, logdet
+    aug = jnp.concatenate([M, B], axis=-1)
+    idx = jnp.arange(d)
+    logdet = jnp.zeros(M.shape[:-2], M.dtype)
+    for i in range(d):
+        piv = aug[..., i, i]
+        logdet = logdet + jnp.log(jnp.abs(piv))
+        piv_row = aug[..., i : i + 1, :] / piv[..., None, None]
+        factors = aug[..., :, i : i + 1]
+        is_i = (idx == i)[:, None]
+        aug = jnp.where(is_i, piv_row, aug - factors * piv_row)
+    return aug[..., :, d:], logdet
+
+
+def _spd_inv(M):
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+    return _spd_solve_logdet(M, eye)[0]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MvGaussian:
@@ -127,11 +161,11 @@ class MvGaussian:
 
     @property
     def mean(self) -> jax.Array:
-        return jnp.linalg.solve(self.W, self.xi[..., None])[..., 0]
+        return _spd_solve_logdet(self.W, self.xi[..., None])[0][..., 0]
 
     @property
     def cov(self) -> jax.Array:
-        return jnp.linalg.inv(self.W)
+        return _spd_inv(self.W)
 
     @property
     def precision(self) -> jax.Array:
@@ -145,21 +179,23 @@ class MvGaussian:
 
     def log_normalizer(self) -> jax.Array:
         d = self.dim
-        mean = self.mean
-        _, logdet = jnp.linalg.slogdet(self.W)
+        sol, logdet = _spd_solve_logdet(self.W, self.xi[..., None])
         return 0.5 * (
-            jnp.einsum("...i,...i->...", self.xi, mean) + d * _LOG_2PI - logdet
+            jnp.einsum("...i,...i->...", self.xi, sol[..., 0])
+            + d * _LOG_2PI
+            - logdet
         )
 
     def entropy(self) -> jax.Array:
         d = self.dim
-        _, logdet = jnp.linalg.slogdet(self.W)
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=self.W.dtype), self.W.shape)
+        _, logdet = _spd_solve_logdet(self.W, eye[..., :1])
         return 0.5 * (d * (1.0 + _LOG_2PI) - logdet)
 
     def logpdf(self, x: jax.Array) -> jax.Array:
         d = self.dim
-        diff = x - self.mean
-        _, logdet = jnp.linalg.slogdet(self.W)
+        sol, logdet = _spd_solve_logdet(self.W, self.xi[..., None])
+        diff = x - sol[..., 0]
         quad = jnp.einsum("...i,...ij,...j->...", diff, self.W, diff)
         return -0.5 * (quad + d * _LOG_2PI - logdet)
 
@@ -180,5 +216,5 @@ def mv_from_mean_precision(mean, precision) -> MvGaussian:
 def mv_from_mean_cov(mean, cov) -> MvGaussian:
     """Construct from (mean ``(..., d)``, covariance ``(..., d, d)``)."""
     mean = jnp.asarray(mean)
-    W = jnp.linalg.inv(jnp.asarray(cov))
+    W = _spd_inv(jnp.asarray(cov))
     return mv_from_mean_precision(mean, W)

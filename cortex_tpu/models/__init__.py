@@ -28,6 +28,10 @@ from .gpc import GPClassifier, GPCPosterior
 from .gmm_full import GMMFull, GMMFullPosterior, GMMFullResult
 from .hmm import HMM, HMMVMPResult, HMMVMPState
 from .lgssm import LGSSM
+from .structured_graph import (
+    StructuredSSMBatched,
+    make_structured_ssm_graph,
+)
 from .vmp_graph import (
     MeanFieldSSMBatched,
     make_mean_field_ssm_graph,
@@ -54,6 +58,8 @@ __all__ = [
     "make_chain_graph",
     "MeanFieldSSMBatched",
     "make_mean_field_ssm_graph",
+    "StructuredSSMBatched",
+    "make_structured_ssm_graph",
     "BOCPD",
     "BOCPDResult",
     "GaussianNIG",

@@ -30,3 +30,27 @@ def test_doc_page_examples_run(page):
             exec(compile(block, f"{page}[block {i}]", "exec"), namespace)
         except Exception as e:  # pragma: no cover
             pytest.fail(f"{page} block {i} failed: {type(e).__name__}: {e}")
+
+
+def test_docs_html_build(tmp_path, monkeypatch):
+    """The rendered-docs build (tools/docs_build.py, Documenter analogue)
+    must produce one HTML page per doc page with nav + structural markup."""
+    import importlib.util
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "docs_build", repo / "tools" / "docs_build.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "OUT", tmp_path)
+    out = mod.build()
+    pages = sorted(p.name for p in out.glob("*.html"))
+    md = sorted(p.stem for p in (repo / "docs").glob("*.md"))
+    assert sorted(p[:-5] for p in pages) == md
+    bench_html = (out / "benchmarks.html").read_text()
+    assert "<nav>" in bench_html and "<table>" in bench_html
+    assert "<pre><code>" in bench_html
+    # .md cross-links rewritten to .html
+    assert ".md)" not in bench_html
