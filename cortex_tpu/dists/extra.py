@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma, gammaln
 
+from .gaussian import _spd_inv, _spd_logdet
+
 __all__ = ["NormalGamma", "Wishart", "Poisson"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -127,7 +129,7 @@ class Wishart:
         """E[log |X|] = Σ ψ((n+1−i)/2) + d log2 + log|V|."""
         d = self.dim
         i = jnp.arange(1, d + 1)
-        _, logdetV = jnp.linalg.slogdet(self.V)
+        logdetV = _spd_logdet(self.V)
         return (
             jnp.sum(digamma((self.n[..., None] + 1.0 - i) / 2.0), axis=-1)
             + d * _LOG_2
@@ -137,13 +139,13 @@ class Wishart:
     def __mul__(self, other: "Wishart") -> "Wishart":
         """Density product: add natural params (n' = n1+n2−d−1, V'⁻¹ = V1⁻¹+V2⁻¹)."""
         d = self.dim
-        Vinv = jnp.linalg.inv(self.V) + jnp.linalg.inv(other.V)
-        return Wishart(self.n + other.n - d - 1.0, jnp.linalg.inv(Vinv))
+        Vinv = _spd_inv(self.V) + _spd_inv(other.V)
+        return Wishart(self.n + other.n - d - 1.0, _spd_inv(Vinv))
 
     def log_normalizer(self) -> jax.Array:
         d = self.dim
         i = jnp.arange(1, d + 1)
-        _, logdetV = jnp.linalg.slogdet(self.V)
+        logdetV = _spd_logdet(self.V)
         return (
             0.5 * self.n * d * _LOG_2
             + 0.5 * self.n * logdetV

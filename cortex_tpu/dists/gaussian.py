@@ -142,6 +142,28 @@ def _spd_inv(M):
     return _spd_solve_logdet(M, eye)[0]
 
 
+def _spd_logdet(M):
+    return _spd_solve_logdet(M, M[..., :, :1])[1]
+
+
+def _spd_cholesky(M):
+    """Lower Cholesky of small SPD matrices as an unrolled batched
+    elimination — no potrf custom call (the UKF sigma-point factor ran a
+    batched Cholesky per scan step; see _spd_solve_logdet).  Falls back to
+    the LAPACK lowering above d = 32."""
+    d = M.shape[-1]
+    if d > 32:
+        return jnp.linalg.cholesky(M)
+    L = jnp.zeros_like(M)
+    for j in range(d):
+        r = M[..., j:, j] - jnp.einsum(
+            "...ik,...k->...i", L[..., j:, :j], L[..., j, :j]
+        )
+        diag = jnp.sqrt(r[..., 0])
+        L = L.at[..., j:, j].set(r / diag[..., None])
+    return L
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MvGaussian:

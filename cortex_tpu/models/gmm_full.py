@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import digamma, gammaln, multigammaln
 
+from ..dists.gaussian import _spd_inv, _spd_logdet
+
 __all__ = ["GMMFull", "GMMFullPosterior", "GMMFullResult"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -33,7 +35,7 @@ def _e_logdet_lambda(nu, W):
     """E[log|Λ|] = Σ_d ψ((ν+1−d)/2) + D log2 + log|W|."""
     D = W.shape[-1]
     i = jnp.arange(1, D + 1)
-    _, logdetW = jnp.linalg.slogdet(W)
+    logdetW = _spd_logdet(W)
     return (
         jnp.sum(digamma((nu[..., None] + 1.0 - i) / 2.0), axis=-1)
         + D * _LOG_2
@@ -44,7 +46,7 @@ def _e_logdet_lambda(nu, W):
 def _log_B(W, nu):
     """log of the Wishart normalizer B(W, ν) (Bishop B.79)."""
     D = W.shape[-1]
-    _, logdetW = jnp.linalg.slogdet(W)
+    logdetW = _spd_logdet(W)
     return (
         -0.5 * nu * logdetW
         - 0.5 * nu * D * _LOG_2
@@ -78,7 +80,7 @@ class GMMFullPosterior(NamedTuple):
         barely-populated components are upper bounds)."""
         D = self.W.shape[-1]
         divisor = jnp.maximum(self.nu - D - 1.0, 1e-6)
-        return jnp.linalg.inv(self.W) / divisor[..., None, None]
+        return _spd_inv(self.W) / divisor[..., None, None]
 
 
 class GMMFullResult(NamedTuple):
@@ -111,7 +113,7 @@ class GMMFull:
         batch = x.shape[:-2]
         nu0 = float(self.nu0) if self.nu0 is not None else float(D)
         W0 = self.w0_scale * jnp.eye(D)
-        W0_inv = jnp.linalg.inv(W0)
+        W0_inv = _spd_inv(W0)
         m0 = jnp.full((D,), self.m0)
 
         if init_means is None:
@@ -175,7 +177,7 @@ class GMMFull:
                 * dm[..., :, None]
                 * dm[..., None, :]
             )
-            W_n = jnp.linalg.inv(W_inv)
+            W_n = _spd_inv(W_inv)
             new_post = GMMFullPosterior(alpha_n, m_n, beta_n, W_n, nu_n)
             fe = -self._elbo(x, new_post, r, log_r, Nk, xbar, S, nu0, W0, W0_inv, m0)
             return (new_post, r), fe

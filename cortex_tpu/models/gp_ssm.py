@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..dists.gaussian import _spd_solve_logdet
+
 __all__ = ["GPSSM", "GPSSMPosterior", "fit_gpssm_ml", "matern_state_space"]
 
 
@@ -182,7 +184,8 @@ class GPSSM:
         def bstep(carry, inp):
             m_s, P_s = carry
             m_f, P_f, A_n, m_pred_n, P_pred_n = inp
-            G = jnp.linalg.solve(P_pred_n.T, (P_f @ A_n.T).T).T
+            # SPD solve without the per-step LU custom call.
+            G = _spd_solve_logdet(P_pred_n, (P_f @ A_n.T).T)[0].T
             m_new = m_f + G @ (m_s - m_pred_n)
             P_new = P_f + G @ (P_s - P_pred_n) @ G.T
             P_new = 0.5 * (P_new + P_new.T)

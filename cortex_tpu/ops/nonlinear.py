@@ -15,7 +15,7 @@ TPU-native design choices:
 - One chain is a ``lax.scan``; replicas batch via ``vmap`` over leading axes,
   so a 10k-replica nonlinear smoothing sweep is one fused XLA program, the
   same execution shape as :mod:`cortex_tpu.ops.chains`.
-- All covariance updates use ``linalg.solve`` (never explicit inverses) and
+- All covariance updates use SPD solves (never explicit inverses) and
   symmetrize, keeping bf16/f32-friendly conditioning.
 
 Model (vector state ``d``, vector observation ``m``):
@@ -39,6 +39,8 @@ __all__ = [
     "ukf_smooth",
 ]
 
+from ..dists.gaussian import _spd_cholesky, _spd_solve_logdet
+
 _LOG2PI = 1.8378770664093453
 
 
@@ -60,10 +62,11 @@ def _sym(P):
 
 
 def _gaussian_ll(v, S):
-    """log N(v; 0, S) for a single residual vector."""
-    sol = jnp.linalg.solve(S, v)
-    _, logdet = jnp.linalg.slogdet(S)
-    return -0.5 * (v.shape[-1] * _LOG2PI + logdet + v @ sol)
+    """log N(v; 0, S) — one pivotless SPD elimination for solve + logdet
+    (no LU custom calls inside the per-step vmapped filters; see
+    dists/gaussian._spd_solve_logdet)."""
+    sol, logdet = _spd_solve_logdet(S, v[..., None])
+    return -0.5 * (v.shape[-1] * _LOG2PI + logdet + v @ sol[..., 0])
 
 
 def _apply_batched(core: Callable, y: jax.Array, core_ndim: int = 2):
@@ -93,7 +96,7 @@ def _ekf_pass(f, h, Q, R, m0, P0):
         Hj = H_jac(m_pred)
         v = obs - h(m_pred)
         S = _sym(Hj @ P_pred @ Hj.T + R)
-        K = jnp.linalg.solve(S, Hj @ P_pred).T  # P Hjᵀ S⁻¹ (S symmetric)
+        K = _spd_solve_logdet(S, Hj @ P_pred)[0].T  # P Hjᵀ S⁻¹ (S symmetric)
         m = m_pred + K @ v
         P = _sym(P_pred - K @ S @ K.T)
         return m, P, _gaussian_ll(v, S)
@@ -127,7 +130,7 @@ def _rts_backward(mean, cov, mps, Pps, Cs):
     def back(carry, inp):
         ms_next, Ps_next = carry
         m_f, P_f, m_pred, P_pred, C = inp
-        G = jnp.linalg.solve(P_pred, C.T).T  # C P_pred⁻¹
+        G = _spd_solve_logdet(P_pred, C.T)[0].T  # C P_pred⁻¹
         m_s = m_f + G @ (ms_next - m_pred)
         P_s = _sym(P_f + G @ (Ps_next - P_pred) @ G.T)
         return (m_s, P_s), (m_s, P_s, G)
@@ -181,7 +184,7 @@ def _ut_weights(d, alpha, beta, kappa, dtype):
 
 def _sigma_points(m, P, scale, jitter):
     d = m.shape[-1]
-    L = jnp.linalg.cholesky(P + jitter * jnp.eye(d, dtype=P.dtype))
+    L = _spd_cholesky(P + jitter * jnp.eye(d, dtype=P.dtype))
     offsets = scale * L.T  # rows are the scaled cholesky columns
     return jnp.concatenate([m[None], m[None] + offsets, m[None] - offsets], axis=0)
 
@@ -204,7 +207,7 @@ def _ukf_pass(f, h, Q, R, m0, P0, alpha, beta, kappa, jitter):
         hpts = jax.vmap(h)(pts)
         y_hat, S, Cxy = _ut_moments(pts, hpts, wm, wc, m_pred, R)
         v = obs - y_hat
-        K = jnp.linalg.solve(S, Cxy.T).T  # Cxy S⁻¹
+        K = _spd_solve_logdet(S, Cxy.T)[0].T  # Cxy S⁻¹
         m = m_pred + K @ v
         P = _sym(P_pred - K @ S @ K.T)
         return m, P, _gaussian_ll(v, S)
