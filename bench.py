@@ -317,13 +317,24 @@ def bench_generic_vmp(R, K, n=100, iters=4):
         float(jnp.max(jnp.abs(ai - bi) / (jnp.abs(bi) + 1e-6)))
         for ai, bi in zip(a, b)
     )
-    dt_c, stats_c = _serial_sweep_stats(compiled_fn, y0, K)
-    dt_h, stats_h = _serial_sweep_stats(handwritten_fn, y0, K)
+    # Interleaved A/B/A/B measurement: the tunnel drifts between sections
+    # (observed ratios 0.58-1.36 for the SAME binaries when the two paths
+    # were timed sequentially), so each path is measured twice in
+    # alternation and compared at its min — the least-drift estimator.
+    dt_c1, stats_c = _serial_sweep_stats(compiled_fn, y0, K)
+    dt_h1, stats_h = _serial_sweep_stats(handwritten_fn, y0, K)
+    dt_c2, stats_c2 = _serial_sweep_stats(compiled_fn, y0, K)
+    dt_h2, stats_h2 = _serial_sweep_stats(handwritten_fn, y0, K)
+    dt_c = min(dt_c1, dt_c2)
+    dt_h = min(dt_h1, dt_h2)
     return {
         "replicas": R, "n": n, "iters_per_call": iters,
         "per_iter_us_compiled": round(dt_c / iters * 1e6, 1),
         "per_iter_us_handwritten": round(dt_h / iters * 1e6, 1),
-        "call_stats_us": {"compiled": stats_c, "handwritten": stats_h},
+        "call_stats_us": {
+            "compiled": [stats_c, stats_c2],
+            "handwritten": [stats_h, stats_h2],
+        },
         "ratio_vs_handwritten": round(dt_c / dt_h, 2),
         "agreement_max_rel": round(agree, 6),
     }
