@@ -88,6 +88,14 @@ class StructuredSSMBatched(BatchedProcessor):
 
 
 def make_structured_ssm_graph(n, observations):
+    """Build the n-step structured SSM: chain states ``x``, observed ``y``,
+    shared ``ssnoise``/``obsnoise`` precision variables; the
+    :class:`~cortex_tpu.core.resolvers.StructuredResolver` builds pairwise
+    joint marginals over transition clusters and mean-field wiring for the
+    likelihoods.  ``observations[i]`` may be scalars or replica-batched
+    arrays (frozen ``y`` marginals).
+
+    Returns ``(engine, x, y, ssnoise, obsnoise)`` (variable-id lists)."""
     g = BipartiteFactorGraph()
     ssnoise = g.add_variable(Variable(name="ssnoise"))
     obsnoise = g.add_variable(Variable(name="obsnoise"))
