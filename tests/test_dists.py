@@ -191,3 +191,61 @@ def test_pytree_registration():
 
     mv = mv_from_mean_precision(jnp.zeros(3), jnp.eye(3))
     assert len(jax.tree_util.tree_leaves(mv)) == 2
+
+
+# ---------------------------------------------------------------------------
+# SPD elimination helpers (dists/gaussian.py) — the no-custom-call linear
+# algebra underlying MvGaussian/EKF/UKF/GMM-full hot paths (r4).
+
+
+def test_spd_solve_logdet_matches_numpy():
+    import numpy as np
+
+    from cortex_tpu.dists.gaussian import _spd_solve_logdet
+
+    rng = np.random.default_rng(0)
+    for d, batch in ((2, (7,)), (5, (3, 4)), (16, ())):
+        A = rng.normal(size=batch + (d, d))
+        M = A @ np.swapaxes(A, -1, -2) + 2.0 * np.eye(d)
+        B = rng.normal(size=batch + (d, 3))
+        sol, logdet = _spd_solve_logdet(
+            jnp.asarray(M, jnp.float32), jnp.asarray(B, jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol), np.linalg.solve(M, B), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(logdet), np.linalg.slogdet(M)[1], rtol=2e-5
+        )
+
+
+def test_spd_solve_logdet_large_d_fallback():
+    import numpy as np
+
+    from cortex_tpu.dists.gaussian import _spd_solve_logdet
+
+    rng = np.random.default_rng(1)
+    d = 40  # > 32: LAPACK fallback branch
+    A = rng.normal(size=(d, d))
+    M = A @ A.T + d * np.eye(d)
+    B = rng.normal(size=(d, 2))
+    sol, logdet = _spd_solve_logdet(jnp.asarray(M), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(sol), np.linalg.solve(M, B), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(logdet), np.linalg.slogdet(M)[1], rtol=1e-5)
+
+
+def test_spd_cholesky_matches_numpy():
+    import numpy as np
+
+    from cortex_tpu.dists.gaussian import _spd_cholesky
+
+    rng = np.random.default_rng(2)
+    for d, batch in ((1, ()), (3, (6,)), (8, (2, 5))):
+        A = rng.normal(size=batch + (d, d))
+        M = A @ np.swapaxes(A, -1, -2) + 1.5 * np.eye(d)
+        L = np.asarray(_spd_cholesky(jnp.asarray(M, jnp.float32)))
+        np.testing.assert_allclose(
+            L, np.linalg.cholesky(M), rtol=2e-4, atol=2e-4
+        )
+        # strictly lower-triangular structure
+        assert np.allclose(L, np.tril(L))
