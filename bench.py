@@ -23,15 +23,24 @@ Roofline: a matched-traffic probe (read the (R,T) input once, write two
 (R,T) outputs — exactly the smoother's HBM footprint) timed identically is
 the denominator; ``pct_roofline`` = probe_time / path_time.
 
+Every timing carries ``{median, min, max}`` over >=3 salted repeats
+(in-run spreads ~5%; cross-process swings reach 3.6x on the tunnel).
+
 Paths measured:
-- ``matmul``  — MXU lowering: the smoother is affine in y (ops/chains.py
-  ``lgssm_smooth_matmul``), one (R,T)x(T,T) matmul at Precision.HIGHEST.
-- ``scan``    — two batched ``lax.scan`` passes (ops/chains.py).
-- ``pallas``  — fused VMEM-resident kernel (ops/pallas_kernels.py).
-- ``generic`` — the actual factor-graph path: ``CompiledInference`` over the
-  T=100 chain graph with chain lowering (compile/lowering.py), replica-
-  batched; proves the framework's generic compiler reaches hand-written
-  performance (VERDICT r1 item 1).
+- ``matmul``      — MXU lowering: the smoother is affine in y
+  (ops/chains.py ``lgssm_smooth_matmul``), one (R,T)x(T,T) matmul at
+  Precision.HIGHEST.
+- ``matmul_bf16`` — the precision policy's bf16-edge config (bf16 inputs +
+  operator, f32 accumulation) — the measured best path.
+- ``scan``        — two batched ``lax.scan`` passes (ops/chains.py).
+- ``pallas``      — fused VMEM-resident kernel (ops/pallas_kernels.py).
+- ``generic_*``   — the factor-graph paths through ``CompiledInference``:
+  the lowered BP chain (``generic_path``), mean-field VMP vs a
+  hand-written Jacobi sweep (``generic_vmp``), and structured VMP with
+  warm/steady decomposition (``generic_structured``).
+- ``ladder``      — HMM+Dirichlet VMP, GMM (anchored), MvLGSSM
+  (scan/blocked/assoc/matmul/matmul_bf16 with MFU), streaming HGF
+  (full-trajectory + trimmed-track + bf16 kernel configs).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is the reference *architecture* — a dynamic per-signal reactive
