@@ -277,3 +277,73 @@ def test_model_blocked_method_dispatch():
     out = model.smooth(y, method="blocked")
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(ref.mean), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-4)
+
+
+def test_lane_major_algebra_matches_reference_layout():
+    """The lane-major combines (leaves (..., d, d, R)) must stay in exact
+    lockstep with the (..., d, d)-minor reference algebra — they are two
+    layouts of the same Särkkä elements (the lane-major one is the hot
+    path; measured 35× on a v5e combine fold)."""
+    from cortex_tpu.ops.chains_mv import (
+        _combine,
+        _Elem,
+        _lcombine,
+        _lscombine,
+        _scombine,
+        _SElem,
+    )
+
+    rng = np.random.default_rng(11)
+    d, R = 3, 5
+
+    def rand_elem():
+        A = rng.normal(size=(R, d, d)) * 0.4 + np.eye(d)
+        b = rng.normal(size=(R, d))
+        C_ = rng.normal(size=(R, d, d)) * 0.3
+        C = C_ @ np.swapaxes(C_, -1, -2) + 0.5 * np.eye(d)
+        eta = rng.normal(size=(R, d))
+        J_ = rng.normal(size=(R, d, d)) * 0.2
+        J = J_ @ np.swapaxes(J_, -1, -2) + 0.1 * np.eye(d)
+        return A, b, C, eta, J
+
+    def to_dd(t):
+        return _Elem(*[jnp.asarray(x, jnp.float32) for x in t])
+
+    def to_lanes(t):
+        # (R, ...) -> (..., R): move the replica axis onto lanes.
+        return _Elem(*[jnp.moveaxis(jnp.asarray(x, jnp.float32), 0, -1) for x in t])
+
+    e1, e2 = rand_elem(), rand_elem()
+    ref = _combine(to_dd(e1), to_dd(e2))
+    lan = _lcombine(to_lanes(e1), to_lanes(e2))
+    for f in _Elem._fields:
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(getattr(lan, f)), -1, 0),
+            np.asarray(getattr(ref, f)),
+            atol=1e-4,
+            err_msg=f,
+        )
+
+    def rand_selem():
+        E = rng.normal(size=(R, d, d)) * 0.5
+        g = rng.normal(size=(R, d))
+        L_ = rng.normal(size=(R, d, d)) * 0.3
+        L = L_ @ np.swapaxes(L_, -1, -2)
+        return E, g, L
+
+    s1, s2 = rand_selem(), rand_selem()
+    sref = _scombine(
+        _SElem(*[jnp.asarray(x, jnp.float32) for x in s1]),
+        _SElem(*[jnp.asarray(x, jnp.float32) for x in s2]),
+    )
+    slan = _lscombine(
+        _SElem(*[jnp.moveaxis(jnp.asarray(x, jnp.float32), 0, -1) for x in s1]),
+        _SElem(*[jnp.moveaxis(jnp.asarray(x, jnp.float32), 0, -1) for x in s2]),
+    )
+    for f in _SElem._fields:
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(getattr(slan, f)), -1, 0),
+            np.asarray(getattr(sref, f)),
+            atol=1e-5,
+            err_msg=f,
+        )
