@@ -53,15 +53,18 @@ class MvLGSSM:
     def dim(self) -> int:
         return len(self.A)
 
-    def smooth(self, y: jax.Array, method: str = "assoc") -> MvChainMarginals:
+    def smooth(self, y: jax.Array, method: str = "blocked") -> MvChainMarginals:
         """Posterior marginals; ``y``: ``(..., T, m)``.
 
-        ``method="blocked"``: two-level blocked scan — block-sequential
-        folds + a B-element cross-block combine (the single-chip form of
-        the time-sharded scheme; the fastest exact-recursion path).
+        ``method="blocked"`` (default): two-level blocked scan —
+        block-sequential folds + a B-element cross-block combine (the
+        single-chip form of the time-sharded scheme; the fastest
+        exact-recursion path — 2.1× faster than "scan" at the bench
+        shapes, NaN-missing-data capable).
         ``method="scan"``: sequential filter + RTS scans.
-        ``method="assoc"`` (default): flat time-parallel associative scan —
-        O(log T) depth but O(T log T) work; single-chip, prefer "blocked".
+        ``method="assoc"``: flat time-parallel associative scan —
+        O(log T) depth but O(T log T) work; kept for reference
+        (measured 65× slower than "scan" single-chip), prefer "blocked".
         ``method="matmul"``: precomputed affine-operator MXU matmul.
         ``method="sqrt"``: sequential QR-factored square-root smoother
         (:func:`cortex_tpu.ops.sqrt_kalman.sqrt_lgssm_smooth`) — the
