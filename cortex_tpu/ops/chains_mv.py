@@ -255,8 +255,9 @@ def _build_smoother_elems(fm, fP, A, Q) -> _SElem:
     G = _mT(_solve_small(_mT(Pp), A @ _mT(fP[:-1]), pivot=False))  # P_f Aᵀ Pp⁻¹
     g = fm[:-1] - jnp.einsum("t...ij,t...j->t...i", G @ A, fm[:-1])
     L = fP[:-1] - G @ Pp @ _mT(G)
+    # Terminal element from fP[:1] (NOT G[:1]: G is empty when T = 1).
     return _SElem(
-        jnp.concatenate([G, jnp.zeros_like(G[:1])], axis=0),
+        jnp.concatenate([G, jnp.zeros_like(fP[:1])], axis=0),
         jnp.concatenate([g, fm[-1:]], axis=0),
         jnp.concatenate([L, fP[-1:]], axis=0),
     )
@@ -408,8 +409,9 @@ def _build_smoother_elems_lanes(fm, fP, A, Q) -> _SElem:
     G = _lT(_lsolve(_lT(Pp), _lmm(A_l, _lT(fP[:-1]))))  # P_f Aᵀ Pp⁻¹
     g = fm[:-1] - _lmv(_lmm(G, A_l), fm[:-1])
     L = fP[:-1] - _lmm(_lmm(G, Pp), _lT(G))
+    # Terminal element from fP[:1] (NOT G[:1]: G is empty when T = 1).
     return _SElem(
-        jnp.concatenate([G, jnp.zeros_like(G[:1])], axis=0),
+        jnp.concatenate([G, jnp.zeros_like(fP[:1])], axis=0),
         jnp.concatenate([g, fm[-1:]], axis=0),
         jnp.concatenate([L, fP[-1:]], axis=0),
     )

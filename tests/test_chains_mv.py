@@ -347,3 +347,50 @@ def test_lane_major_algebra_matches_reference_layout():
             atol=1e-5,
             err_msg=f,
         )
+
+
+def test_mv_paths_fuzz_equivalence():
+    """Randomized cross-path fuzz: blocked and assoc must match the
+    sequential scan over random shapes, block splits, NaN missingness
+    patterns, and degenerate chain lengths (T=1 previously crashed the
+    smoother-element builders: the terminal element was built from an
+    empty gain slice)."""
+    from cortex_tpu.ops.chains_mv import (
+        mv_lgssm_smooth,
+        mv_lgssm_smooth_blocked,
+        mv_lgssm_smooth_seq,
+    )
+
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        d = int(rng.integers(1, 4))
+        mdim = int(rng.integers(1, d + 1))
+        T = int(rng.choice([1, 2, 3, 5, 8, 12, 24]))
+        R = int(rng.integers(1, 4))
+        A, Q, H, R_, m0, P0 = _random_system(rng, d, mdim)
+        y = rng.normal(size=(R, T, mdim)).astype(np.float32)
+        if T > 2 and trial % 2:
+            # random missing steps (never all of them)
+            n_miss = int(rng.integers(1, T // 2 + 1))
+            for idx in rng.choice(T, size=n_miss, replace=False):
+                y[rng.integers(0, R), idx, :] = np.nan
+        args = (
+            jnp.asarray(y),
+            jnp.asarray(A, jnp.float32),
+            jnp.asarray(Q, jnp.float32),
+            jnp.asarray(H, jnp.float32),
+            jnp.asarray(R_, jnp.float32),
+            (jnp.asarray(m0, jnp.float32), jnp.asarray(P0, jnp.float32)),
+        )
+        ref = mv_lgssm_smooth_seq(*args)
+        for f in (mv_lgssm_smooth_blocked, mv_lgssm_smooth):
+            out = f(*args)
+            np.testing.assert_allclose(
+                np.asarray(out.mean),
+                np.asarray(ref.mean),
+                atol=5e-4,
+                err_msg=f"{f.__name__} trial {trial} d={d} m={mdim} T={T}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.cov), np.asarray(ref.cov), atol=5e-4
+            )
