@@ -9,19 +9,27 @@ replica, (T-1) forward messages + (T-1) backward messages + T marginals =
 3T-2 signal updates — the same accounting as the reference's dynamic engine
 executions for one `update_marginals!` pass over the chain.
 
-Methodology (v2 — honest device time on the remote-tunnel TPU): per-call
-``block_until_ready`` on this tunnel acks enqueue in ~80us regardless of the
-work submitted, and a value fetch costs a ~24ms RPC — both useless as op
-timers.  So each path is timed as K smoothing sweeps serialized inside ONE
-jitted ``fori_loop`` (each iteration's input is perturbed by the previous
-iteration's reduced output, forcing serial execution and defeating the
-remote execution cache), fetching one scalar at the end; device time per
-sweep = total/K with the RPC constant amortized to <1%.  Inputs are salted
-with wall-clock time so repeated bench runs can never hit a cached result.
+Methodology (v3 — constant-free device time on the remote-tunnel TPU):
+every jitted call through this tunnel pays a VOLATILE ~25-60 ms constant
+(enqueue + remote execution + scalar-fetch RPCs) that CANNOT be amortized
+by a fixed K — at K=40 it added ~600-1,500 us to every per-sweep number of
+rounds 2-4 (VERDICT r4 item 1).  Each path is timed as k sweeps serialized
+inside ONE jitted ``fori_loop`` (dynamic trip count; output-fed iterations
+defeat the remote execution cache) at TWO trip counts, and the device time
+is the two-point slope (total(K_big)-total(K))/(K_big-K); the implied
+per-call constant is reported alongside every number
+(``_serial_sweep_stats``).  Inputs are salted with wall-clock time so
+repeated bench runs can never hit a cached result.
 
-Roofline: a matched-traffic probe (read the (R,T) input once, write two
-(R,T) outputs — exactly the smoother's HBM footprint) timed identically is
-the denominator; ``pct_roofline`` = probe_time / path_time.
+Artifacts: the full detail is WRITTEN to ``BENCH_DETAIL.json`` (committed
+each round); stdout carries one compact (<1.5 kB) final JSON line so the
+driver's tail capture stays parseable (VERDICT r4 item 2).
+
+Roofline: a matched-traffic probe (read the (R,T) input once; outputs fuse
+into the harness reduction exactly as the paths' outputs do) timed
+identically is the denominator; ``pct_matched_probe`` = probe/path.  The
+HBM model counts the INPUT READ only — under the serialized harness XLA
+never materializes the outputs (the r02-r04 3-buffer model overcounted).
 
 Every timing carries ``{median, min, max}`` over >=3 salted repeats
 (in-run spreads ~5%; cross-process swings reach 3.6x on the tunnel).
@@ -38,9 +46,11 @@ Paths measured:
   the lowered BP chain (``generic_path``), mean-field VMP vs a
   hand-written Jacobi sweep (``generic_vmp``), and structured VMP with
   warm/steady decomposition (``generic_structured``).
-- ``ladder``      — HMM+Dirichlet VMP, GMM (anchored), MvLGSSM
-  (scan/blocked/assoc/matmul/matmul_bf16 with MFU), streaming HGF
-  (full-trajectory + trimmed-track + bf16 kernel configs).
+- ``ladder``      — HMM+Dirichlet VMP (scan/pallas interleaved A/B),
+  GMM at a resource-bound shape (R=8192), MvLGSSM
+  (scan/blocked/assoc/matmul/matmul_bf16 with MFU + auto-default check),
+  streaming HGF (full-trajectory + trimmed-track + bf16 kernel configs,
+  each against a measured compute floor).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is the reference *architecture* — a dynamic per-signal reactive
@@ -86,48 +96,97 @@ def _section(name, fn, *args, retries=1, **kwargs):
 
 
 def _serial_sweep_stats(fn, y0, K, aux=(), repeats=3):
-    """Per-sweep device time statistics: ``repeats`` timed calls of K
-    serialized fn(y, *aux)-sweeps each, distinct salt per call (defeats the
-    remote execution cache).  Returns ``(median_seconds, stats_dict)`` —
-    the tunnel shows 25%+ run-to-run swings (scan 319 vs 400 us across the
-    two committed r03 runs), so single measurements must not silently
-    decide ``best_method`` (VERDICT r3 item 3).
+    """CONSTANT-FREE per-sweep device time via two-point K-extrapolation.
 
-    ``y0`` (and any large operands in ``aux``) are passed as jit ARGUMENTS,
-    not closed over: a closure constant is inlined into the HLO payload
-    shipped through the tunnel's remote_compile endpoint — at probe sizes
-    (1 GB data, 128 MB weights, 164 MB smoother operators) that stalls
-    compilation for minutes and can kill the transport (observed
-    broken-pipe)."""
+    The tunnel charges a volatile ~25-60 ms constant per jitted call
+    (enqueue + remote-execution + scalar-fetch RPCs) — measured directly:
+    the identical d16 bf16 matmul reads 859/240/86 us-per-iter at
+    K=40/200/800 (VERDICT r4 item 1).  Dividing one call's wall time by K
+    therefore OVERSTATES every fast path by up to ~30 ms/K.  Instead the
+    same jitted program (trip count ``k`` is a dynamic argument — one
+    compile) is timed at K and at an adaptively chosen K_big, and
+
+        device_per_sweep = (total(K_big) - total(K)) / (K_big - K)
+        call_constant    = total(K) - K * device_per_sweep
+
+    K_big is sized so the device-time delta is >= ~60 ms, well above the
+    constant's observed +-3 ms in-process jitter; each of ``repeats``
+    (K, K_big) pairs is timed back-to-back so slow drift cancels too.
+    Returns ``(median_seconds, stats_dict)`` with the implied per-call
+    constant reported alongside.
+
+    Inputs are salted per call (defeats the remote execution cache) and
+    each iteration's input is perturbed by the previous iteration's reduced
+    output (forces serial execution).  ``y0`` (and any large operands in
+    ``aux``) are passed as jit ARGUMENTS, not closed over: a closure
+    constant is inlined into the HLO payload shipped through the tunnel's
+    remote_compile endpoint — at probe sizes that stalls compilation for
+    minutes and can kill the transport (observed broken-pipe)."""
     import jax
     from jax import lax
 
     @jax.jit
-    def g(s, y, aux_args):
+    def g(s, k, y, aux_args):
         def body(i, acc):
             out = fn(y + (s + acc * 1e-30), *aux_args)
             leaves = jax.tree_util.tree_leaves(out)
             return acc + sum(x.sum() for x in leaves) * 1e-30
 
-        return lax.fori_loop(0, K, body, jax.numpy.float32(0.0))
+        return lax.fori_loop(0, k, body, jax.numpy.float32(0.0))
 
     salt = float(time.time_ns() % 100_000) / 1000.0
-    float(g(salt, y0, tuple(aux)))  # compile + warm
-    times = []
-    for k in range(repeats):
+    aux = tuple(aux)
+    float(g(salt, K, y0, aux))  # compile + warm
+
+    def timed(s, k):
         t0 = time.perf_counter()
-        float(g(salt + 0.5 + 0.25 * k, y0, tuple(aux)))
-        times.append((time.perf_counter() - t0) / K)
-    times.sort()
-    mid = len(times) // 2
-    med = times[mid] if len(times) % 2 else 0.5 * (times[mid - 1] + times[mid])
+        float(g(s, k, y0, aux))
+        return time.perf_counter() - t0
+
+    # Pilot pair: rough device-time estimate sizes K_big so the K_big-K
+    # delta is ~60 ms of pure device time (>= 4x K always; iteration cap
+    # bounds the wall cost if the pilot underestimates).
+    t1 = timed(salt + 0.31, K)
+    t4 = timed(salt + 0.47, 4 * K)
+    t_est = (t4 - t1) / (3 * K)
+    if t_est <= 1e-9:  # delta below jitter — fall back to a big multiplier
+        K_big = min(64 * K, K + 100_000)
+    else:
+        K_big = min(max(4 * K, K + int(0.06 / t_est) + 1), K + 100_000)
+    per_sweep, consts = [], []
+    r = 0
+    while len(per_sweep) < repeats:
+        ta = timed(salt + 0.5 + 0.25 * r, K)
+        tb = timed(salt + 0.61 + 0.25 * r, K_big)
+        r += 1
+        t = (tb - ta) / (K_big - K)
+        if not per_sweep and 0 < t * (K_big - K) < 0.04 and K_big < K + 100_000:
+            # Pilot overestimated a fast path (its own delta sat below the
+            # constant's jitter) — the first real pair has a sharper t;
+            # resize K_big once so the remaining deltas are >= ~60 ms.
+            K_big = min(max(K_big, K + int(0.08 / t) + 1), K + 100_000)
+            continue
+        per_sweep.append(t)
+        consts.append(ta - K * t)
+    per_sweep.sort()
+    consts.sort()
+    mid = len(per_sweep) // 2
+    if len(per_sweep) % 2:
+        med, const = per_sweep[mid], consts[mid]
+    else:
+        med = 0.5 * (per_sweep[mid - 1] + per_sweep[mid])
+        const = 0.5 * (consts[mid - 1] + consts[mid])
     stats = {
         "median_us": round(med * 1e6, 1),
-        "min_us": round(times[0] * 1e6, 1),
-        "max_us": round(times[-1] * 1e6, 1),
+        "min_us": round(per_sweep[0] * 1e6, 1),
+        "max_us": round(per_sweep[-1] * 1e6, 1),
         "repeats": repeats,
+        "call_constant_ms": round(const * 1e3, 1),
+        "k_points": [K, K_big],
     }
-    return med, stats
+    # A drift-dominated pair can extrapolate to <= 0; downstream division
+    # needs a positive time.  Report the raw stats, clamp the scalar.
+    return max(med, 1e-9), stats
 
 
 def _serial_sweep_time(fn, y0, K, aux=(), repeats=1):
@@ -346,6 +405,14 @@ def bench_generic_vmp(R, K, n=100, iters=4):
         },
         "ratio_vs_handwritten": round(dt_c / dt_h, 2),
         "agreement_max_rel": round(agree, 6),
+        "gap_decomposition": "the compiled steady sweep materializes "
+        "every per-edge message (8 batched rule groups, ~500 (R,)-rows "
+        "of messages + marginal packs per iteration) where the "
+        "hand-written sweep fuses messages into the marginal updates "
+        "and only touches data + q arrays — the ratio tracks the "
+        "~2-3x HBM-traffic multiple of the generic dataflow "
+        "representation, not dispatch overhead (r2-r4 reported ~1.1x "
+        "only because the tunnel constant swamped both sides)",
     }
 
 
@@ -357,12 +424,15 @@ def bench_generic_structured(R, K, n=100, iters=4):
     ``test/inference_engine_tests.jl:807-1147``).
 
     One ``iterate(steady_state=True)`` call = 1 dataflow-ordered
-    WARM-START sweep (207 phases for this graph — its ProductOfMessages
-    chains serialize the dataflow order) + (iters-1) Jacobi steady-state
-    sweeps (ONE phase of 13 batched groups).  Long VMP runs amortize the
-    warm start, so the number that matters is the steady-state
-    per-iteration cost; both are reported, decomposed from two call
-    lengths via t(i) = warm + (i-1)·steady."""
+    WARM-START sweep + (iters-1) Jacobi steady-state sweeps (ONE phase of
+    13 batched groups).  The warm start does NOT run the raw 207-phase
+    schedule: the chain-mining lowering rerolls it into a 14-segment plan
+    (one length-98 ``lax.scan`` over the transition-message recurrences +
+    the O(log n) segment-tree product levels) — r4's "7.1 ms warm start"
+    was ~7.5 ms of tunnel constant at K=4 (VERDICT r4 items 1/10); the
+    constant-free warm start measures ~1.4 ms.  Long VMP runs amortize it;
+    both numbers are reported, decomposed from two call lengths via
+    t(i) = warm + (i-1)·steady."""
     import jax
     import jax.numpy as jnp
 
@@ -509,8 +579,20 @@ def _flops_of(fn, *args):
         return 0.0
 
 
-def _ladder_hmm(K, method="scan"):
-    """HMM forward-backward + Dirichlet VMP (pooled, R replicas)."""
+def _scale_iter_stats(stats, iters):
+    """Divide the per-sweep time keys of a stats dict by ``iters``."""
+    keep = {"repeats", "k_points", "call_constant_ms"}
+    return {k: (v if k in keep else round(v / iters, 1)) for k, v in stats.items()}
+
+
+def _ladder_hmm(K):
+    """HMM forward-backward + Dirichlet VMP (pooled, R replicas): scan and
+    pallas measured ALTERNATELY in one section (A/B/A/B) so the committed
+    ratio is intra-process and constant-free (VERDICT r4 item 8/6).
+
+    The scan path's numbers are banked before the first pallas call — the
+    pallas kernel is the one binary that has crashed the remote worker, and
+    a crash must not lose the scan measurement."""
     import jax.numpy as jnp
 
     from cortex_tpu.models import HMM
@@ -520,36 +602,63 @@ def _ladder_hmm(K, method="scan"):
     base = _make_data(R_)[:, :T_]  # float walks; symbols derived inside
     iters = 4
 
-    def fn(data):
-        obs = jnp.clip(jnp.abs(data).astype(jnp.int32) % M, 0, M - 1)
-        res = hmm.fit_vmp(
-            obs, M, n_iterations=iters, pooled=True, method=method
-        )
-        return res.state.trans_alpha, res.state.emis_alpha, res.elbo
+    def make_fn(method):
+        def fn(data):
+            obs = jnp.clip(jnp.abs(data).astype(jnp.int32) % M, 0, M - 1)
+            res = hmm.fit_vmp(
+                obs, M, n_iterations=iters, pooled=True, method=method
+            )
+            return res.state.trans_alpha, res.state.emis_alpha, res.elbo
 
-    dt, stats = _serial_sweep_stats(fn, base, K)
-    dt /= iters
-    stats = {k: round(v / iters, 1) if k != "repeats" else v
-             for k, v in stats.items()}
-    return {
+        return fn
+
+    scan_fn, pallas_fn = make_fn("scan"), make_fn("pallas")
+    dt_s1, st_s1 = _serial_sweep_stats(scan_fn, base, K, repeats=2)
+    out = {
         "replicas": R_, "T": T_, "K": Kh, "M": M,
-        "per_vmp_iter_us": stats,
-        # One VMP iteration touches R*T state marginals + R*(T-1) pairwise
-        # counts + R*T emission contributions ≈ 3 updates per step.
-        "msg_updates_per_s": round(R_ * T_ * 3 / dt, 1),
+        "per_vmp_iter_us": {"scan": [_scale_iter_stats(st_s1, iters)]},
     }
+    dts, dtp = [dt_s1], []
+    try:
+        for _ in range(2):
+            dt_p, st_p = _serial_sweep_stats(pallas_fn, base, K, repeats=2)
+            dtp.append(dt_p)
+            out["per_vmp_iter_us"].setdefault("pallas", []).append(
+                _scale_iter_stats(st_p, iters)
+            )
+            dt_s, st_s = _serial_sweep_stats(scan_fn, base, K, repeats=2)
+            dts.append(dt_s)
+            out["per_vmp_iter_us"]["scan"].append(
+                _scale_iter_stats(st_s, iters)
+            )
+    except Exception as e:  # pragma: no cover - infra-dependent
+        out["pallas_error"] = f"{type(e).__name__}: {e}"
+    best = min(dts + dtp) / iters
+    if dtp:
+        # min-over-alternated-runs on each side: the least-drift estimator
+        # (same scheme as generic_vmp's interleaved A/B).
+        out["ratio_scan_over_pallas"] = round(min(dts) / min(dtp), 2)
+    # One VMP iteration touches R*T state marginals + R*(T-1) pairwise
+    # counts + R*T emission contributions ~= 3 updates per step.
+    out["msg_updates_per_s"] = round(R_ * T_ * 3 / best, 1)
+    return out
 
 
 def _ladder_gmm(K, hbm_peak, mxu_peak):
     """GMM structured VMP (R independent replicas) — anchored: XLA FLOP
     count, achieved TFLOP/s vs bf16 spec peak, a matched-traffic probe, and
-    the binding resource named from the two ratios (VERDICT r3 item 7)."""
+    the binding resource named from the two ratios.
+
+    R=8192 (VERDICT r4 item 8): at the old R=256 nothing was measurable —
+    the per-iteration device time was launch latency on tiny operands.  At
+    (8192, 256, 2, 4) one iteration's E-step alone moves ~50 MB
+    (x + responsibilities), so FLOPs/traffic must explain the time."""
     import jax
     import jax.numpy as jnp
 
     from cortex_tpu.models import GMM
 
-    Rg, N, D, Kg = 256, 256, 2, 4
+    Rg, N, D, Kg = 8192, 256, 2, 4
     key = jax.random.PRNGKey(1)
     xg = jax.block_until_ready(
         jax.random.normal(key, (Rg, N, D), jnp.float32)
@@ -564,8 +673,7 @@ def _ladder_gmm(K, hbm_peak, mxu_peak):
 
     dt, stats = _serial_sweep_stats(gmm_fn, xg, K)
     dt /= giters
-    stats = {k: round(v / giters, 1) if k != "repeats" else v
-             for k, v in stats.items()}
+    stats = _scale_iter_stats(stats, giters)
     flops = _flops_of(gmm_fn, xg) / giters
     # Matched-traffic probe: per iteration the E-step reads x (R,N,D) and
     # writes responsibilities (R,N,K); the M-step reductions touch (R,K,·)
@@ -576,21 +684,26 @@ def _ladder_gmm(K, hbm_peak, mxu_peak):
         )
 
     dt_probe = _serial_sweep_time(probe_fn, xg, max(8, K))
-    bytes_iter = (Rg * N * D + Rg * N * Kg) * 4
+    # Minimal traffic = the x read per iteration (probe outputs fuse into
+    # the harness reduction, path intermediates between E/M fusions do
+    # not necessarily).  The probe ratio measures the path's REAL traffic
+    # multiple over that floor.
+    bytes_iter = Rg * N * D * 4
     achieved_tflops = flops / dt / 1e12
     pct_mxu = 100 * achieved_tflops / mxu_peak
     pct_hbm = 100 * bytes_iter / dt / 1e9 / hbm_peak
-    binding = (
-        "latency/launch-bound: neither FLOPs nor HBM traffic explains the "
-        "iteration time — at (256,256,2,4) both utilizations are <5%; the "
-        "time is XLA fusion count x dispatch latency on tiny operands. "
-        "pct_matched_probe > 100 means the path BEATS its own naive "
-        "traffic model: inside the serialized fori_loop XLA fuses the "
-        "E/M steps so responsibilities never round-trip HBM, while the "
-        "probe materializes them"
-        if max(pct_mxu, pct_hbm) < 5.0
-        else ("VPU/MXU compute" if pct_mxu > pct_hbm else "HBM bandwidth")
-    )
+    probe_ratio = dt / max(dt_probe, 1e-9)
+    if pct_mxu > max(pct_hbm, 5.0):
+        binding = "VPU/MXU compute"
+    elif probe_ratio >= 2.0:
+        binding = (
+            f"HBM traffic on materialized intermediates: the iteration "
+            f"runs {probe_ratio:.1f}x its matched minimal-traffic probe "
+            f"(XLA fusion boundaries between the E/M steps re-read and "
+            f"re-write (R,N,K)-shaped arrays the minimal model elides)"
+        )
+    else:
+        binding = "HBM bandwidth (matched to the minimal-traffic probe)"
     return {
         "replicas": Rg, "N": N, "D": D, "K": Kg,
         "per_vmp_iter_us": stats,
@@ -650,13 +763,13 @@ def _ladder_mv(K, mxu_peak):
             return mean, jnp.broadcast_to(cov, v.shape[:-2] + cov.shape)
 
         per_method = {}
-        for method, Km in (
-            ("scan", K),
-            ("blocked", K),
-            ("assoc", max(4, K // 8)),
+        for method, Km, reps in (
+            ("scan", K, 3),
+            ("blocked", K, 3),
+            ("assoc", max(2, K // 16), 2),
         ):
             fn = lambda v, meth=method: m.smooth(v, method=meth)
-            med, stats = _serial_sweep_stats(fn, ym, Km)
+            med, stats = _serial_sweep_stats(fn, ym, Km, repeats=reps)
             per_method[method] = (med, stats, fn, ())
         mm_fn = lambda v, o: mv_lgssm_smooth_matmul(v, operator=o)
         med, stats = _serial_sweep_stats(mm_fn, ym, K, aux=(op,))
@@ -671,10 +784,22 @@ def _ladder_mv(K, mxu_peak):
         flops = _flops_of(best_fn, ym, *best_aux)
         dt_bf16 = per_method["matmul_bf16"][0]
         flops_bf16 = _flops_of(mm_bf16, ym, L_bf16, op.c, op.cov)
+        # The DEFAULT (method="auto") path must stay within 1.1x of the
+        # best measured exact-recursion path at every d (VERDICT r4
+        # item 3); matmul paths need a precomputed operator, so the
+        # default competes among the recursion paths.
+        default = m.auto_method()
+        best_rec = min(
+            per_method[k][0] for k in ("scan", "blocked", "assoc")
+        )
         out[f"d{d}"] = {
             "replicas": Rm, "T": T,
             "sweep_us": {k: v[1] for k, v in per_method.items()},
             "best_method": best_method,
+            "default_method": default,
+            "default_vs_best_recursion": round(
+                per_method[default][0] / best_rec, 2
+            ),
             "xla_flops_per_sweep": flops,
             "achieved_tflops": round(flops / dt / 1e12, 2),
             "mfu_pct_of_bf16_peak": round(100 * flops / dt / 1e12 / mxu_peak, 2),
@@ -691,12 +816,20 @@ def _ladder_mv(K, mxu_peak):
 
 def _ladder_hgf(K, hbm_peak):
     """Streaming HGF filtering: full-trajectory and trimmed-track kernel
-    configs (opt-in tracks, VERDICT r3 item 6).  ``pct_hbm_peak`` is
-    computed per config with that config's own traffic."""
+    configs (opt-in tracks).  ``pct_hbm_peak`` is computed per config with
+    that config's own traffic; ``pct_of_compute_floor`` quantifies the
+    serial-recursion floor round 4 only asserted (VERDICT r4 item 7).
+
+    The floor probe executes the EXACT per-step update (``HGF.step`` on
+    (R, T) operand arrays, all element-steps data-parallel, XLA-fused, one
+    input read) — the minimum time any schedule of the same R*T updates can
+    take on this chip given the op mix.  The kernel runs the same updates
+    with T-step serial dependence per replica; its distance from the probe
+    is what serialization + layout actually cost."""
     import jax
     import jax.numpy as jnp
 
-    from cortex_tpu.models import HGF
+    from cortex_tpu.models import HGF, HGFState
     from cortex_tpu.ops.pallas_hgf import hgf_filter_pallas
 
     Rh, Th = 65536, 256
@@ -722,6 +855,18 @@ def _ladder_hgf(K, hbm_peak):
         )
         return final, tr
 
+    def floor_probe(data):
+        # One HGF step per element, fully parallel: same op mix, same input
+        # read, no serial dependence, no trajectory writes (harness fuses
+        # the output reduction).  Carries derived from data so nothing
+        # constant-folds; pi1/pi2 kept positive.
+        st = HGFState(
+            data, 1.0 + data * data, 0.5 * data, 1.0 + jnp.abs(data)
+        )
+        new_state, delta1 = hgf.step(st, data)
+        return tuple(new_state) + (delta1,)
+
+    floor_t, floor_stats = _serial_sweep_stats(floor_probe, uh, max(8, K))
     # (config, fn, f32-equivalent buffer count for traffic accounting)
     configs = {
         "scan": (all5("scan"), 6.0),
@@ -737,32 +882,35 @@ def _ladder_hgf(K, hbm_peak):
         stats["pct_hbm_peak"] = round(
             100 * bufs * Rh * Th * 4 / med / 1e9 / hbm_peak, 1
         )
+        stats["pct_of_compute_floor"] = round(100 * floor_t / med, 1)
         out_cfg[name] = stats
     dt = meds["pallas_filter_only"]
     return {
         "replicas": Rh, "T": Th,
         "sweep_us": out_cfg,
         "best_method": min(meds, key=meds.get),
+        "compute_floor_us": floor_stats,
         # Headline = the streaming-filtering configuration (final state
         # only); trajectory configs are reported above.
         "obs_per_s": round(Rh * Th / dt, 1),
         "pct_hbm_peak": out_cfg["pallas_filter_only"]["pct_hbm_peak"],
-        "note": "trimmed-track configs are serial-recursion compute-bound, "
-        "not HBM-bound: T sequential VPU steps per tile put the floor at "
-        "~grid*T*(chain_depth) cycles, so pct_hbm_peak is the binding "
-        "metric only for the full-trajectory configs",
+        "pct_of_compute_floor": out_cfg["pallas_filter_only"][
+            "pct_of_compute_floor"
+        ],
+        "note": "pct_of_compute_floor is the binding metric for the "
+        "trimmed-track configs (serial recursion, ~1 buffer of traffic); "
+        "pct_hbm_peak for the full-trajectory configs (6 buffers)",
     }
 
 
 def bench_ladder(peaks, K=40):
     """On-chip device times for the rest of the BASELINE.md model ladder:
-    HMM+Dirichlet VMP, GMM structured VMP, MvLGSSM (d=4,16; MFU), streaming
-    HGF.  Same serialized-fori_loop methodology as the primary metric.
+    GMM structured VMP, MvLGSSM (d=4,16; MFU), streaming HGF, HMM+Dirichlet
+    VMP (interleaved scan/pallas).  Same two-point-extrapolated
+    serialized-fori_loop methodology as the primary metric.
 
     Each family runs in its own section: one family's failure (a tunnel
-    flake or a worker-crashing kernel) must not lose the others — and the
-    HMM pallas variant (the one kernel that has crashed the remote worker)
-    runs LAST, after every other number is banked."""
+    flake or a worker-crashing kernel) must not lose the others."""
     hbm_peak = (
         peaks.get("spec_hbm_GBps")
         or peaks.get("measured_hbm_probe_GBps")
@@ -774,33 +922,17 @@ def bench_ladder(peaks, K=40):
         or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
     )
     out = {
-        "hmm": _section("ladder.hmm_scan", _ladder_hmm, K, "scan", retries=0),
         "gmm": _section(
             "ladder.gmm", _ladder_gmm, K, hbm_peak, mxu_peak, retries=0
         ),
         "mv_lgssm": _section("ladder.mv", _ladder_mv, K, mxu_peak, retries=0),
         "hgf": _section("ladder.hgf", _ladder_hgf, K, hbm_peak, retries=0),
     }
-    hmm_pallas = _section(
-        "ladder.hmm_pallas", _ladder_hmm, K, "pallas", retries=0
-    )
-    if isinstance(out["hmm"], dict) and "error" not in out["hmm"]:
-        variants = {
-            "scan": out["hmm"]["per_vmp_iter_us"],
-            "pallas": hmm_pallas.get("per_vmp_iter_us", hmm_pallas.get("error")),
-        }
-        out["hmm"]["per_vmp_iter_us"] = variants
-        timed = [
-            v["median_us"] for v in variants.values() if isinstance(v, dict)
-        ]
-        if timed:
-            best = min(timed) * 1e-6
-            h = out["hmm"]
-            h["msg_updates_per_s"] = round(
-                h["replicas"] * h["T"] * 3 / best, 1
-            )
-    else:
-        out["hmm_pallas"] = hmm_pallas
+    # HMM runs LAST: its interleaved section includes the pallas kernel —
+    # the one binary that has crashed the remote worker — and a crash must
+    # not lose the other families' numbers (the section itself banks the
+    # scan measurement before the first pallas call).
+    out["hmm"] = _section("ladder.hmm", _ladder_hmm, K, retries=0)
     return out
 
 
@@ -876,7 +1008,14 @@ def main():
         or peaks.get("measured_mxu_probe_bf16_tflops")
         or KNOWN_PEAKS["TPU v5 lite"]["bf16_tflops"]
     )
-    bytes_per_sweep = 3 * replicas * T * 4  # read y once, write mean+var
+    # Traffic model: the y READ only.  Under the serialized-fori harness
+    # the sweep's outputs feed a fused scalar reduction, so XLA never
+    # writes the (R, T) mean/variance to HBM — the old 3-buffer model
+    # (read y + write mean + var) overcounted 3x and reported >100% of
+    # spec peak once the call constant was subtracted (r05).  The probe
+    # has the same property (its outputs fuse into the same reduction),
+    # so pct_matched_probe compares like with like.
+    bytes_per_sweep = replicas * T * 4
     result = {
         "metric": "lgssm_10k_replica_message_updates_per_sec_per_chip",
         "value": round(updates_per_s, 1),
@@ -921,13 +1060,14 @@ def main():
                     / mxu_peak,
                     2,
                 ),
-                "regime_10k": "latency/launch-bound (12MB footprint; the "
-                "matched probe itself runs far below HBM peak at this size)",
+                "traffic_model": "input read only (R*T*4): under the "
+                "serialized harness the outputs feed a fused scalar "
+                "reduction and never hit HBM; the probe shares this "
+                "property so pct_matched_probe compares like with like",
                 "probe_note": "pct_matched_probe ~100% means the path "
-                "matches an ideal copy of its own traffic; the residual "
-                "gap to spec peak at 100k is the PROBE's own inefficiency "
-                "at a 120 MB footprint (the 1 GB hw_peaks probe comes "
-                "closer), not path headroom",
+                "matches an ideal fused read of its own input; the "
+                "residual gap to spec peak is the footprint's own "
+                "latency floor (the 1 GB hw_peaks probe comes closer)",
                 "probe_us_100k": (
                     None if scale_failed else round(probe_100k * 1e6, 1)
                 ),
@@ -940,7 +1080,7 @@ def main():
                     None
                     if scale_failed
                     else round(
-                        100.0 * (3 * 100_000 * T * 4) / dt100k / 1e9 / hbm_peak,
+                        100.0 * (100_000 * T * 4) / dt100k / 1e9 / hbm_peak,
                         1,
                     )
                 ),
@@ -975,7 +1115,98 @@ def main():
             "baseline_value": round(baseline_updates_per_s, 1),
         },
     }
-    print(json.dumps(result))
+    import pathlib
+
+    detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(_compact(result)))
+
+
+def _compact(result):
+    """The <=1.5 kB artifact-of-record line: the driver keeps only a
+    2,000-char stdout tail, which truncated the full JSON for two rounds
+    (``parsed: null`` in BENCH_r03/r04 — VERDICT r4 item 2).  Medians +
+    headline ratios only; the full detail lives in BENCH_DETAIL.json."""
+
+    def med(s):
+        return s.get("median_us") if isinstance(s, dict) else None
+
+    d = result["detail"]
+    sweep = d.get("sweep_device_us", {})
+    consts = sorted(
+        v["call_constant_ms"]
+        for v in sweep.values()
+        if isinstance(v, dict) and v.get("call_constant_ms") is not None
+    )
+    lad = d.get("ladder", {})
+    gen_bp = d.get("generic_path", {})
+    vmp = d.get("generic_vmp", {})
+    struct = d.get("generic_structured", {})
+    hmm, gmm = lad.get("hmm", {}), lad.get("gmm", {})
+    mv, hgf = lad.get("mv_lgssm", {}), lad.get("hgf", {})
+
+    def mv_row(key):
+        row = mv.get(key, {}) if isinstance(mv, dict) else {}
+        if not isinstance(row, dict) or "sweep_us" not in row:
+            return row.get("error", "n/a") if isinstance(row, dict) else "n/a"
+        return {
+            "best": row.get("best_method"),
+            "us": med(row["sweep_us"].get(row.get("best_method"), {})),
+            "default": row.get("default_method"),
+            "default_vs_best_recursion": row.get("default_vs_best_recursion"),
+        }
+
+    def hmm_iter(variant):
+        runs = hmm.get("per_vmp_iter_us", {}).get(variant, [])
+        vals = [med(s) for s in runs if med(s) is not None]
+        return min(vals) if vals else None
+
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "detail": {
+            "best_path": d.get("best_path"),
+            "sweeps_per_sec": d.get("sweeps_per_sec"),
+            "sweep_device_us": {k: med(v) for k, v in sweep.items()},
+            "tunnel_call_constant_ms": (
+                consts[len(consts) // 2] if consts else None
+            ),
+            "msg_updates_per_s_100k": d.get("msg_updates_per_s_100k_replicas"),
+            "pct_hbm_peak_best_100k": d.get("roofline", {}).get(
+                "pct_hbm_spec_peak_best_100k"
+            ),
+            "generic": {
+                "bp_ratio_vs_scan": gen_bp.get("ratio_vs_scan"),
+                "vmp_ratio_vs_handwritten": vmp.get("ratio_vs_handwritten"),
+                "structured_steady_iter_us": struct.get("steady_iter_us"),
+                "structured_warm_us": struct.get("warm_start_sweep_us"),
+            },
+            "ladder": {
+                "hmm_iter_us": {
+                    "scan": hmm_iter("scan"),
+                    "pallas": hmm_iter("pallas"),
+                },
+                "hmm_ratio_scan_over_pallas": hmm.get(
+                    "ratio_scan_over_pallas"
+                ),
+                "gmm_iter_us": med(gmm.get("per_vmp_iter_us", {})),
+                "gmm_binding": gmm.get("binding_resource"),
+                "mv_d4": mv_row("d4"),
+                "mv_d16": mv_row("d16"),
+                "hgf_obs_per_s": hgf.get("obs_per_s"),
+                "hgf_pct_of_compute_floor": hgf.get("pct_of_compute_floor"),
+            },
+            "methodology": "all times are constant-free device times via "
+            "two-point K-extrapolation (the tunnel's volatile 25-60 ms "
+            "per-call constant is measured and subtracted; see "
+            "BENCH_DETAIL.json for per-entry constants and spreads)",
+            "detail_file": "BENCH_DETAIL.json",
+        },
+    }
 
 
 if __name__ == "__main__":

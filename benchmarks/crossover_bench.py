@@ -57,7 +57,7 @@ def main():
         row = {"T": T_, "replicas": R_, "sweep_us": {}}
         for name, (fn, aux) in paths.items():
             try:
-                dt = bench._serial_sweep_time(fn, y0, K, aux=aux)
+                dt = bench._serial_sweep_time(fn, y0, K, aux=aux, repeats=3)
                 row["sweep_us"][name] = round(dt * 1e6, 1)
             except Exception as e:  # pragma: no cover - shape/VMEM limits
                 row["sweep_us"][name] = f"error: {type(e).__name__}"
