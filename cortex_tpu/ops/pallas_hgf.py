@@ -13,6 +13,12 @@ exactly the input read plus the tracks the caller will actually consume
 
 Same guard semantics as the model (clipped log-volatility, floored level-2
 precision, capped level-2 step).  Falls back to interpreter mode off-TPU.
+
+Filtering-only callers (``tracks=()``) take a SUBLANE-MAJOR fast path
+(``_hgf_filter_sublane``): the input is relaid out XLA-side to ``(T*8, C)``
+so every recursion step operates on an (8, C) full-vreg block instead of a
+(1, tile) single-sublane row — measured 1.54× the row-major kernel at the
+bench shape, with the step compute at the all-parallel compute floor.
 """
 
 from __future__ import annotations
@@ -104,6 +110,130 @@ def _hgf_kernel(
     fin_ref[...] = jnp.concatenate(cols + [jnp.zeros_like(cols[0])] * 4, -1)
     for track_ref, scratch in zip(track_refs, scratches):
         track_ref[...] = scratch[...].T.astype(track_dtype)
+
+
+def _hgf_sublane_kernel(
+    u_ref,
+    fin_ref,
+    *,
+    T,
+    kappa,
+    omega,
+    theta,
+    pi_u,
+    max_log_nu,
+    min_pi2,
+    max_mu2_step,
+):
+    """Filter-only kernel in SUBLANE-MAJOR layout: ``u_ref`` is a
+    ``(T*8, C)`` block whose rows ``[8t, 8t+8)`` hold time step t for
+    ``8*C`` replicas, so every recursion step operates on a full
+    ``(8, C)`` vreg-shaped operand instead of the row-major kernel's
+    ``(1, tile)`` single-sublane rows (~1/8 ALU occupancy).  Measured on
+    v5e at (65536, 256): 529 µs vs 814 µs for the row-major kernel
+    (BENCH_DETAIL.json ladder.hgf) — the step compute itself reaches the
+    all-parallel compute floor; the residual is the XLA-side relayout
+    (~93 µs, one extra HBM pass)."""
+    row0 = u_ref[pl.ds(0, 8), :] * 0.0  # (8, C)
+    ones = row0 + 1.0
+
+    def step(t, carry):
+        mu1, pi1, mu2, pi2 = carry
+        u = u_ref[pl.ds(8 * t, 8), :]
+        log_nu = jnp.clip(kappa * mu2 + omega, -max_log_nu, max_log_nu)
+        nu = jnp.exp(log_nu)
+        pihat1 = 1.0 / (1.0 / pi1 + nu)
+        pi1_new = pihat1 + pi_u
+        mu1_new = mu1 + (pi_u / pi1_new) * (u - mu1)
+        delta1 = (1.0 / pi1_new + (mu1_new - mu1) ** 2) * pihat1 - 1.0
+        pihat2 = 1.0 / (1.0 / pi2 + theta)
+        w1 = nu * pihat1
+        pi2_new = pihat2 + 0.5 * kappa**2 * w1 * (
+            w1 + (2.0 * w1 - 1.0) * delta1
+        )
+        pi2_new = jnp.maximum(pi2_new, min_pi2)
+        mu2_step = jnp.clip(
+            0.5 * kappa * (w1 / pi2_new) * delta1,
+            -max_mu2_step,
+            max_mu2_step,
+        )
+        return mu1_new, pi1_new, mu2 + mu2_step, pi2_new
+
+    final = lax.fori_loop(0, T, step, (row0, ones, row0, ones))
+    fin_ref[...] = jnp.concatenate(final, axis=0)  # (32, C)
+
+
+def _hgf_filter_sublane(
+    u,
+    kappa,
+    omega,
+    theta,
+    pi_u,
+    max_log_nu,
+    min_pi2,
+    max_mu2_step,
+    tile,
+    interpret,
+):
+    """Filter-only fast path: sublane-major relayout + kernel.
+
+    The relayout ``(n, T) → (T*8, n/8)`` (rows [8t, 8t+8) = step t) is one
+    XLA transpose OUTSIDE the kernel — Mosaic cannot reshape a loaded
+    ``(T, tile)`` block to ``(T, 8, C)`` in-register ("tpu.reshape"
+    fault), so the data arrives pre-shaped and the kernel needs no
+    transpose scratch at all."""
+    n, T = u.shape
+    pad = (-n) % tile
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((pad, T), u.dtype)], axis=0)
+    n_padded = u.shape[0]
+    nb = n_padded // tile
+    C = tile // 8
+    X = u.reshape(nb, 8, C, T).transpose(3, 1, 0, 2).reshape(T * 8, nb * C)
+    kernel = functools.partial(
+        _hgf_sublane_kernel,
+        T=T,
+        kappa=kappa,
+        omega=omega,
+        theta=theta,
+        pi_u=pi_u,
+        max_log_nu=max_log_nu,
+        min_pi2=min_pi2,
+        max_mu2_step=max_mu2_step,
+    )
+    in_block = pl.BlockSpec(
+        (T * 8, C), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    fin_block = pl.BlockSpec(
+        (32, C), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[in_block],
+        out_specs=fin_block,
+        out_shape=jax.ShapeDtypeStruct((32, nb * C), u.dtype),
+        interpret=interpret,
+    )(X)
+    # (32, nb*C): sublane rows [8k, 8k+8) hold quantity k; invert layout.
+    fin = out.reshape(4, 8, nb, C).transpose(0, 2, 1, 3).reshape(4, n_padded)
+    return tuple(fin[i, :n] for i in range(4)), ()
+
+
+_hgf_filter_sublane_jit = jax.jit(
+    _hgf_filter_sublane,
+    static_argnames=(
+        "kappa",
+        "omega",
+        "theta",
+        "pi_u",
+        "max_log_nu",
+        "min_pi2",
+        "max_mu2_step",
+        "tile",
+        "interpret",
+    ),
+)
 
 
 @functools.partial(
@@ -228,6 +358,27 @@ def hgf_filter_pallas(
         raise ValueError(f"unknown tracks {sorted(unknown)}; valid: {ALL_TRACKS}")
     n, T = u.shape
     k = len(tracks)
+    if k == 0 and tile is None:
+        # Filter-only fast path: sublane-major layout (full (8, C) vreg
+        # operands per step, no transpose scratch) — measured 1.54× the
+        # row-major kernel at the bench shape.  Auto-tile: the (T*8, C)
+        # input block is double-buffered -> 2·T·tile·4 bytes; C must be a
+        # lane multiple (tile % 1024 == 0).  Very long T (> ~1400) falls
+        # through to the row-major kernel and its VMEM guard.
+        stile = (VMEM_BUDGET_BYTES // (2 * T * 4) // 1024) * 1024
+        if stile >= 1024:
+            return _hgf_filter_sublane_jit(
+                u,
+                kappa,
+                omega,
+                theta,
+                pi_u,
+                max_log_nu,
+                min_pi2,
+                max_mu2_step,
+                min(stile, 4096),
+                interpret,
+            )
     # Per-tile VMEM: the (tile, T) input is double-buffered by the
     # pipeline; each track has a (tile, T) output and a (T, tile)
     # time-major scratch, plus the input's own scratch -> 3 + 2k buffers
@@ -241,13 +392,15 @@ def hgf_filter_pallas(
         tile = max(128, (VMEM_BUDGET_BYTES // per_row // 128) * 128)
     tile = max(128, (tile // 128) * 128)
     if per_row * tile > VMEM_BUDGET_BYTES + 4 * 1024 * 1024:
-        # Even the minimum 128-row tile cannot fit: fail with guidance
-        # instead of a VMEM OOM from Mosaic (ADVICE r3).
+        # The chosen tile (caller-supplied, or the minimum 128 when the
+        # budget division bottomed out) cannot fit: fail with guidance
+        # instead of a VMEM OOM from Mosaic (ADVICE r3; message names the
+        # tile actually checked, ADVICE r4).
         raise ValueError(
             f"hgf_filter_pallas: T={T} with {k} trajectory tracks needs "
-            f"{per_row * tile} bytes of VMEM per grid step at the "
-            f"minimum tile=128 (budget {VMEM_BUDGET_BYTES}); reduce T, "
-            "request fewer tracks, or use method='scan'"
+            f"{per_row * tile} bytes of VMEM per grid step at tile={tile} "
+            f"(budget {VMEM_BUDGET_BYTES}); reduce T or tile, request "
+            "fewer tracks, or use method='scan'"
         )
     track_dtype = u.dtype if track_dtype is None else jnp.dtype(track_dtype)
     return _hgf_filter_pallas_jit(

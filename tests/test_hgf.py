@@ -282,3 +282,39 @@ def test_hgf_pallas_guards():
 
     with pytest.raises(ValueError, match="scan"):
         jax.jit(f)(jnp.float32(-2.0))
+
+
+def test_pallas_filter_only_sublane_parity_and_fallback():
+    """The tracks=() fast path (sublane-major kernel) must match the scan
+    filter exactly through its relayout + padding, and very long T must
+    fall back to the row-major kernel rather than blow VMEM."""
+    import numpy as np
+
+    from cortex_tpu.models import HGF
+    from cortex_tpu.ops.pallas_hgf import hgf_filter_pallas
+
+    rng = np.random.default_rng(0)
+    hgf = HGF()
+    # n deliberately NOT a multiple of the auto tile; T not a lane multiple.
+    u = jnp.asarray(
+        rng.normal(size=(700, 48)).cumsum(axis=-1) * 0.1, jnp.float32
+    )
+    finals, tracks = hgf_filter_pallas(u, tracks=())
+    assert tracks == ()
+    ref, _ = hgf.filter(u, method="scan")
+    for got, want in zip(finals, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    # T=2048: auto sublane tile would be < 1024 -> row-major fallback path
+    # (still correct, still filter-only).
+    u_long = jnp.asarray(
+        rng.normal(size=(16, 2048)).cumsum(axis=-1) * 0.05, jnp.float32
+    )
+    finals_long, _ = hgf_filter_pallas(u_long, tracks=())
+    ref_long, _ = hgf.filter(u_long, method="scan")
+    np.testing.assert_allclose(
+        np.asarray(finals_long[0]), np.asarray(ref_long.mu1),
+        rtol=1e-4, atol=1e-4,
+    )
