@@ -61,10 +61,13 @@ docs:
 	@ls docs/*.md
 
 # Static HTML build of the docs (Documenter.jl analogue; no-pip renderer).
+# The bench-generated regions are refreshed from BENCH_DETAIL.json first so
+# rendered docs can never drift from the artifact of record.
 docs-html:
+	python tools/gen_bench_docs.py
 	python tools/docs_build.py
 
-# Weak-scaling curves on virtual devices; writes SCALING_r03.json.
+# Weak-scaling curves on virtual devices; writes SCALING_r05.json.
 weak-scaling:
 	python benchmarks/weak_scaling_bench.py
 

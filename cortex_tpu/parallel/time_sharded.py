@@ -209,6 +209,12 @@ def mv_lgssm_smooth_time_sharded(
     form of :func:`cortex_tpu.ops.chains_mv.mv_lgssm_smooth_blocked`, with
     device index standing in for the block index.  Dense data only (NaN
     missingness is handled by the single-chip paths).
+
+    The lane-major element algebra shares the blocked path's d-crossover
+    (its combine does d³ per-lane VPU work — ``MvLGSSM.auto_method``):
+    past d ≈ 8 a standard-layout per-device fold would win; at the
+    BASELINE d ≤ 8 shapes this per-device program matches the measured
+    single-chip best (BENCH_DETAIL.json ``ladder.mv_lgssm``).
     """
     from ..ops.chains_mv import (
         MvChainMarginals,

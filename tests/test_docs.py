@@ -54,3 +54,36 @@ def test_docs_html_build(tmp_path, monkeypatch):
     assert "<pre><code>" in bench_html
     # .md cross-links rewritten to .html
     assert ".md)" not in bench_html
+
+
+def test_bench_generated_regions_match_artifact():
+    """Every numeric benchmark claim inside a bench-generated region must
+    equal what tools/gen_bench_docs.py renders from the committed
+    BENCH_DETAIL.json — docs cannot drift from the artifact of record
+    (VERDICT r4 item 5)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    detail_path = repo / "BENCH_DETAIL.json"
+    assert detail_path.exists(), (
+        "BENCH_DETAIL.json missing — run `python bench.py` (it is the "
+        "committed artifact the docs tables are generated from)"
+    )
+    spec = importlib.util.spec_from_file_location(
+        "gen_bench_docs", repo / "tools" / "gen_bench_docs.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    detail = json.loads(detail_path.read_text())
+    rendered = mod.rendered_files(detail)
+    assert rendered, "no bench-generated regions found in docs/"
+    stale = [
+        rel for rel, new in rendered.items()
+        if (repo / rel).read_text() != new
+    ]
+    assert not stale, (
+        f"docs drifted from BENCH_DETAIL.json in {stale}; run "
+        "`python tools/gen_bench_docs.py`"
+    )

@@ -25,11 +25,21 @@ Run: ``python tools/format.py [paths...]`` — exits non-zero with one
 from __future__ import annotations
 
 import ast
+import re
 import sys
 from pathlib import Path
 from typing import Iterator, List, Tuple
 
 MAX_COLS = 99
+
+_URL_RE = re.compile(r"https?://\S+")
+
+
+def _url_overflows(line: str) -> bool:
+    """True iff a URL token itself extends past the column limit — the only
+    legitimate long-line exemption (ADVICE r4: a bare substring test on
+    'http' silently passed any over-long line mentioning e.g. 'httpx')."""
+    return any(m.end() > MAX_COLS for m in _URL_RE.finditer(line))
 
 # Stdlib top-level module names actually imported anywhere in this repo —
 # enough for the coarse grouping check without importlib probing.
@@ -103,7 +113,7 @@ def _check_text(path: Path, text: str) -> Iterator[Finding]:
             "file must end with exactly one newline",
         )
     for i, line in enumerate(text.split("\n"), 1):
-        if len(line) > MAX_COLS and "http" not in line:
+        if len(line) > MAX_COLS and not _url_overflows(line):
             yield (path, i, "long-line", f"{len(line)} > {MAX_COLS} columns")
         if line != line.rstrip():
             yield (path, i, "trailing-ws", "trailing whitespace")
