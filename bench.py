@@ -1117,10 +1117,27 @@ def main():
     }
     import pathlib
 
-    detail_path = pathlib.Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    repo = pathlib.Path(__file__).resolve().parent
+    detail_path = repo / "BENCH_DETAIL.json"
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")
+    # Keep the docs' bench-generated regions in lockstep with the artifact
+    # just written — tests/test_docs.py fails on any drift between the two,
+    # so a bench run that updated only the artifact would leave the tree
+    # inconsistent.  Best-effort: a docs failure must not lose the bench.
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_bench_docs", repo / "tools" / "gen_bench_docs.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        for rel, new in mod.rendered_files(result).items():
+            (repo / rel).write_text(new)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"[bench] docs regeneration skipped: {e}", file=sys.stderr)
     print(json.dumps(_compact(result)))
 
 
