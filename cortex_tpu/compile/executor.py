@@ -179,8 +179,28 @@ def smart_stack(values: Sequence[Any]) -> Any:
 def product_reduce(dep_values: Sequence[Any]) -> Any:
     """Fold a list of same-family distribution batches with ``*`` — the
     batched analogue of the reference tests' ``reduce(product, deps)``
-    (``test/inference_engine_tests.jl:392-412``)."""
-    out = dep_values[0]
+    (``test/inference_engine_tests.jl:392-412``).
+
+    High-arity products (a mean-field noise posterior multiplies ~n
+    messages) are NOT folded pairwise: that emits a k-deep serial add chain
+    in the HLO.  When the family exposes ``reduce_product`` (every
+    exponential-family dist in :mod:`cortex_tpu.dists`: natural parameters
+    are additive up to an affine −(k−1) correction), the k operands are
+    stacked along a new leading axis and reduced in ONE sum.  Measured
+    honestly: at the bench shape (R=10⁴, n=100) device time is UNCHANGED —
+    XLA already fuses the chain — so the benefit is trace/HLO size (one
+    reduce vs k ops per product) and log-free numerics, not runtime."""
+    first = dep_values[0]
+    if len(dep_values) > 2:
+        reducer = getattr(type(first), "reduce_product", None)
+        if reducer is not None and all(
+            type(v) is type(first) for v in dep_values
+        ):
+            try:
+                return reducer(tree_stack(list(dep_values)), axis=0)
+            except (ValueError, TypeError):
+                pass  # heterogeneous shapes — pairwise fold below
+    out = first
     for v in dep_values[1:]:
         out = out * v
     return out

@@ -44,6 +44,17 @@ class Beta:
     def __mul__(self, other: "Beta") -> "Beta":
         return Beta(self.a + other.a - 1.0, self.b + other.b - 1.0)
 
+    @classmethod
+    def reduce_product(cls, stacked: "Beta", axis: int = 0) -> "Beta":
+        """Product of k stacked Betas in ONE reduction (see
+        :func:`cortex_tpu.compile.product_reduce`): pairwise ``*`` is
+        associative with the affine correction −(k−1) on both shapes."""
+        k = jnp.shape(stacked.a)[axis]
+        return cls(
+            jnp.sum(stacked.a, axis) - (k - 1.0),
+            jnp.sum(stacked.b, axis) - (k - 1.0),
+        )
+
     def __truediv__(self, other: "Beta") -> "Beta":
         return Beta(self.a - other.a + 1.0, self.b - other.b + 1.0)
 
@@ -118,6 +129,16 @@ class Gamma:
     def __mul__(self, other: "Gamma") -> "Gamma":
         return Gamma(self.shape + other.shape - 1.0, self.rate + other.rate)
 
+    @classmethod
+    def reduce_product(cls, stacked: "Gamma", axis: int = 0) -> "Gamma":
+        """Product of k stacked Gammas in ONE reduction
+        (Σα − (k−1), Σβ) — the batched form of the pairwise ``*``."""
+        k = jnp.shape(stacked.shape)[axis]
+        return cls(
+            jnp.sum(stacked.shape, axis) - (k - 1.0),
+            jnp.sum(stacked.rate, axis),
+        )
+
     def __truediv__(self, other: "Gamma") -> "Gamma":
         return Gamma(self.shape - other.shape + 1.0, self.rate - other.rate)
 
@@ -182,6 +203,11 @@ class Bernoulli:
     def __mul__(self, other: "Bernoulli") -> "Bernoulli":
         return Bernoulli(self.logit + other.logit)
 
+    @classmethod
+    def reduce_product(cls, stacked: "Bernoulli", axis: int = 0) -> "Bernoulli":
+        """Product of k stacked Bernoullis in ONE reduction (Σ logit)."""
+        return cls(jnp.sum(stacked.logit, axis))
+
     def __truediv__(self, other: "Bernoulli") -> "Bernoulli":
         return Bernoulli(self.logit - other.logit)
 
@@ -231,6 +257,14 @@ class Categorical:
     def __mul__(self, other: "Categorical") -> "Categorical":
         return Categorical(self.logits + other.logits)
 
+    @classmethod
+    def reduce_product(
+        cls, stacked: "Categorical", axis: int = 0
+    ) -> "Categorical":
+        """Product of k stacked Categoricals in ONE reduction
+        (Σ logits)."""
+        return cls(jnp.sum(stacked.logits, axis))
+
     def __truediv__(self, other: "Categorical") -> "Categorical":
         return Categorical(self.logits - other.logits)
 
@@ -278,6 +312,13 @@ class Dirichlet:
 
     def __mul__(self, other: "Dirichlet") -> "Dirichlet":
         return Dirichlet(self.alpha + other.alpha - 1.0)
+
+    @classmethod
+    def reduce_product(cls, stacked: "Dirichlet", axis: int = 0) -> "Dirichlet":
+        """Product of k stacked Dirichlets in ONE reduction
+        (Σα − (k−1))."""
+        k = jnp.shape(stacked.alpha)[axis]
+        return cls(jnp.sum(stacked.alpha, axis) - (k - 1.0))
 
     def __truediv__(self, other: "Dirichlet") -> "Dirichlet":
         return Dirichlet(self.alpha - other.alpha + 1.0)

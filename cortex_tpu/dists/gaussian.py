@@ -67,6 +67,15 @@ class Gaussian:
         """
         return Gaussian(self.xi + other.xi, self.w + other.w)
 
+    @classmethod
+    def reduce_product(cls, stacked: "Gaussian", axis: int = 0) -> "Gaussian":
+        """Product of k stacked Gaussians in ONE reduction — natural
+        parameters are additive, so the fold is a plain sum.  Used by
+        :func:`cortex_tpu.compile.product_reduce` to turn a high-arity
+        marginal product (e.g. the mean-field noise posteriors' 99-message
+        products) into one reduce instead of a k-deep add chain."""
+        return cls(jnp.sum(stacked.xi, axis), jnp.sum(stacked.w, axis))
+
     def __truediv__(self, other: "Gaussian") -> "Gaussian":
         """Density quotient: subtract natural parameters (used for cavity /
         exclusion products: marginal ÷ one message)."""
@@ -195,6 +204,12 @@ class MvGaussian:
 
     def __mul__(self, other: "MvGaussian") -> "MvGaussian":
         return MvGaussian(self.xi + other.xi, self.W + other.W)
+
+    @classmethod
+    def reduce_product(cls, stacked: "MvGaussian", axis: int = 0) -> "MvGaussian":
+        """Product of k stacked MvGaussians in ONE reduction (natural
+        parameters additive)."""
+        return cls(jnp.sum(stacked.xi, axis), jnp.sum(stacked.W, axis))
 
     def __truediv__(self, other: "MvGaussian") -> "MvGaussian":
         return MvGaussian(self.xi - other.xi, self.W - other.W)

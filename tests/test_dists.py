@@ -249,3 +249,90 @@ def test_spd_cholesky_matches_numpy():
         )
         # strictly lower-triangular structure
         assert np.allclose(L, np.tril(L))
+
+
+def test_reduce_product_matches_pairwise_fold():
+    """reduce_product (one stacked reduction) must equal the pairwise *
+    fold for every family that defines it — the compiled executor swaps
+    one for the other on high-arity products."""
+    import numpy as np
+    from functools import reduce
+
+    from cortex_tpu.dists import (
+        Bernoulli,
+        Beta,
+        Categorical,
+        Dirichlet,
+        Gamma,
+        Gaussian,
+        MvGaussian,
+    )
+
+    rng = np.random.default_rng(0)
+    k, R = 7, 5
+
+    def check(cls, stacked, fields):
+        rows = [
+            cls(**{f: getattr(stacked, f)[i] for f in fields})
+            for i in range(k)
+        ]
+        folded = reduce(lambda a, b: a * b, rows)
+        reduced = cls.reduce_product(stacked, axis=0)
+        for f in fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(reduced, f)),
+                np.asarray(getattr(folded, f)),
+                rtol=1e-6, atol=1e-6,
+            )
+
+    check(
+        Gaussian,
+        Gaussian(
+            jnp.asarray(rng.normal(size=(k, R)), jnp.float32),
+            jnp.asarray(rng.random((k, R)) + 0.1, jnp.float32),
+        ),
+        ("xi", "w"),
+    )
+    check(
+        Gamma,
+        Gamma(
+            jnp.asarray(rng.random((k, R)) + 1.0, jnp.float32),
+            jnp.asarray(rng.random((k, R)) + 0.1, jnp.float32),
+        ),
+        ("shape", "rate"),
+    )
+    check(
+        Beta,
+        Beta(
+            jnp.asarray(rng.random((k, R)) + 1.0, jnp.float32),
+            jnp.asarray(rng.random((k, R)) + 1.0, jnp.float32),
+        ),
+        ("a", "b"),
+    )
+    check(
+        Bernoulli,
+        Bernoulli(jnp.asarray(rng.normal(size=(k, R)), jnp.float32)),
+        ("logit",),
+    )
+    check(
+        Categorical,
+        Categorical(jnp.asarray(rng.normal(size=(k, R, 3)), jnp.float32)),
+        ("logits",),
+    )
+    check(
+        Dirichlet,
+        Dirichlet(jnp.asarray(rng.random((k, R, 3)) + 1.0, jnp.float32)),
+        ("alpha",),
+    )
+    check(
+        MvGaussian,
+        MvGaussian(
+            jnp.asarray(rng.normal(size=(k, R, 2)), jnp.float32),
+            jnp.asarray(
+                np.tile(np.eye(2), (k, R, 1, 1))
+                + 0.1 * rng.random((k, R, 2, 2)),
+                jnp.float32,
+            ),
+        ),
+        ("xi", "W"),
+    )
