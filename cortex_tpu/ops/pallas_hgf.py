@@ -14,11 +14,15 @@ exactly the input read plus the tracks the caller will actually consume
 Same guard semantics as the model (clipped log-volatility, floored level-2
 precision, capped level-2 step).  Falls back to interpreter mode off-TPU.
 
-Filtering-only callers (``tracks=()``) take a SUBLANE-MAJOR fast path
-(``_hgf_filter_sublane``): the input is relaid out XLA-side to ``(T*8, C)``
-so every recursion step operates on an (8, C) full-vreg block instead of a
-(1, tile) single-sublane row — measured 1.54× the row-major kernel at the
-bench shape, with the step compute at the all-parallel compute floor.
+All configs default to a SUBLANE-MAJOR fast path (``_hgf_filter_sublane``):
+the input is relaid out XLA-side to ``(T*8, C)`` so every recursion step
+operates on an (8, C) full-vreg block instead of a (1, tile) single-sublane
+row (~1/8 ALU occupancy), tracks write their step rows directly (no
+transpose scratches), and each track pays one XLA inverse transpose on the
+way out — measured ~1.5× the row-major kernel at the bench shape for both
+the filtering-only and all-5-track configs, with the step compute at the
+all-parallel compute floor.  The row-major kernel remains for explicit
+``tile=`` callers and very long T.
 """
 
 from __future__ import annotations
@@ -114,8 +118,9 @@ def _hgf_kernel(
 
 def _hgf_sublane_kernel(
     u_ref,
-    fin_ref,
-    *,
+    *refs,
+    tracks,
+    track_dtype,
     T,
     kappa,
     omega,
@@ -125,15 +130,22 @@ def _hgf_sublane_kernel(
     min_pi2,
     max_mu2_step,
 ):
-    """Filter-only kernel in SUBLANE-MAJOR layout: ``u_ref`` is a
-    ``(T*8, C)`` block whose rows ``[8t, 8t+8)`` hold time step t for
-    ``8*C`` replicas, so every recursion step operates on a full
-    ``(8, C)`` vreg-shaped operand instead of the row-major kernel's
-    ``(1, tile)`` single-sublane rows (~1/8 ALU occupancy).  Measured on
-    v5e at (65536, 256): 529 µs vs 814 µs for the row-major kernel
-    (BENCH_DETAIL.json ladder.hgf) — the step compute itself reaches the
-    all-parallel compute floor; the residual is the XLA-side relayout
-    (~93 µs, one extra HBM pass)."""
+    """Kernel in SUBLANE-MAJOR layout: ``u_ref`` is a ``(T*8, C)`` block
+    whose rows ``[8t, 8t+8)`` hold time step t for ``8*C`` replicas, so
+    every recursion step operates on a full ``(8, C)`` vreg-shaped operand
+    instead of the row-major kernel's ``(1, tile)`` single-sublane rows
+    (~1/8 ALU occupancy).  Measured on v5e at (65536, 256): filter-only
+    557 µs vs 827 µs row-major (BENCH_DETAIL.json ladder.hgf) — the step
+    compute itself reaches the all-parallel compute floor; the residual is
+    the XLA-side relayout.  Requested tracks write their step rows
+    DIRECTLY to same-layout outputs (no transpose scratch at all); the
+    caller inverts the layout with one XLA transpose per track.
+
+    ``refs`` = the (32, C) final-state output (sublane rows [8k, 8k+8) =
+    quantity k of mu1/pi1/mu2/pi2), then ``len(tracks)`` (T*8, C) track
+    outputs."""
+    fin_ref = refs[0]
+    track_refs = refs[1:]
     row0 = u_ref[pl.ds(0, 8), :] * 0.0  # (8, C)
     ones = row0 + 1.0
 
@@ -157,7 +169,17 @@ def _hgf_sublane_kernel(
             -max_mu2_step,
             max_mu2_step,
         )
-        return mu1_new, pi1_new, mu2 + mu2_step, pi2_new
+        mu2_new = mu2 + mu2_step
+        values = {
+            "mu1": mu1_new,
+            "pi1": pi1_new,
+            "mu2": mu2_new,
+            "pi2": pi2_new,
+            "delta1": delta1,
+        }
+        for name, ref in zip(tracks, track_refs):
+            ref[pl.ds(8 * t, 8), :] = values[name].astype(track_dtype)
+        return mu1_new, pi1_new, mu2_new, pi2_new
 
     final = lax.fori_loop(0, T, step, (row0, ones, row0, ones))
     fin_ref[...] = jnp.concatenate(final, axis=0)  # (32, C)
@@ -165,6 +187,8 @@ def _hgf_sublane_kernel(
 
 def _hgf_filter_sublane(
     u,
+    tracks,
+    track_dtype,
     kappa,
     omega,
     theta,
@@ -175,14 +199,16 @@ def _hgf_filter_sublane(
     tile,
     interpret,
 ):
-    """Filter-only fast path: sublane-major relayout + kernel.
+    """Sublane-major relayout + kernel (filter state + requested tracks).
 
     The relayout ``(n, T) → (T*8, n/8)`` (rows [8t, 8t+8) = step t) is one
     XLA transpose OUTSIDE the kernel — Mosaic cannot reshape a loaded
     ``(T, tile)`` block to ``(T, 8, C)`` in-register ("tpu.reshape"
     fault), so the data arrives pre-shaped and the kernel needs no
-    transpose scratch at all."""
+    transpose scratch at all; each track pays one inverse transpose on the
+    way out."""
     n, T = u.shape
+    k = len(tracks)
     pad = (-n) % tile
     if pad:
         u = jnp.concatenate([u, jnp.zeros((pad, T), u.dtype)], axis=0)
@@ -192,6 +218,8 @@ def _hgf_filter_sublane(
     X = u.reshape(nb, 8, C, T).transpose(3, 1, 0, 2).reshape(T * 8, nb * C)
     kernel = functools.partial(
         _hgf_sublane_kernel,
+        tracks=tracks,
+        track_dtype=track_dtype,
         T=T,
         kappa=kappa,
         omega=omega,
@@ -207,22 +235,33 @@ def _hgf_filter_sublane(
     fin_block = pl.BlockSpec(
         (32, C), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[in_block],
-        out_specs=fin_block,
-        out_shape=jax.ShapeDtypeStruct((32, nb * C), u.dtype),
+        out_specs=(fin_block,) + (in_block,) * k,
+        out_shape=(jax.ShapeDtypeStruct((32, nb * C), u.dtype),)
+        + tuple(
+            jax.ShapeDtypeStruct((T * 8, nb * C), track_dtype)
+            for _ in range(k)
+        ),
         interpret=interpret,
     )(X)
     # (32, nb*C): sublane rows [8k, 8k+8) hold quantity k; invert layout.
-    fin = out.reshape(4, 8, nb, C).transpose(0, 2, 1, 3).reshape(4, n_padded)
-    return tuple(fin[i, :n] for i in range(4)), ()
+    fin = outs[0].reshape(4, 8, nb, C).transpose(0, 2, 1, 3).reshape(4, n_padded)
+    finals = tuple(fin[i, :n] for i in range(4))
+    track_vals = tuple(
+        o.reshape(T, 8, nb, C).transpose(2, 1, 3, 0).reshape(n_padded, T)[:n]
+        for o in outs[1:]
+    )
+    return finals, track_vals
 
 
 _hgf_filter_sublane_jit = jax.jit(
     _hgf_filter_sublane,
     static_argnames=(
+        "tracks",
+        "track_dtype",
         "kappa",
         "omega",
         "theta",
@@ -358,17 +397,23 @@ def hgf_filter_pallas(
         raise ValueError(f"unknown tracks {sorted(unknown)}; valid: {ALL_TRACKS}")
     n, T = u.shape
     k = len(tracks)
-    if k == 0 and tile is None:
-        # Filter-only fast path: sublane-major layout (full (8, C) vreg
-        # operands per step, no transpose scratch) — measured 1.54× the
-        # row-major kernel at the bench shape.  Auto-tile: the (T*8, C)
-        # input block is double-buffered -> 2·T·tile·4 bytes; C must be a
-        # lane multiple (tile % 1024 == 0).  Very long T (> ~1400) falls
-        # through to the row-major kernel and its VMEM guard.
-        stile = (VMEM_BUDGET_BYTES // (2 * T * 4) // 1024) * 1024
+    track_dtype = u.dtype if track_dtype is None else jnp.dtype(track_dtype)
+    if tile is None:
+        # Sublane-major fast path for ALL configs (full (8, C) vreg
+        # operands per step, no transpose scratch; tracks write their step
+        # rows directly and pay one XLA inverse transpose each) — measured
+        # 1.5× the row-major kernel filter-only and 1.5× all-5-track at
+        # the bench shape.  Auto-tile: the (T*8, C) input block plus k
+        # track blocks are double-buffered -> 2·T·tile·(4 + k·itemsize)
+        # bytes; C must be a lane multiple (tile % 1024 == 0).  Very long
+        # T falls through to the row-major kernel and its VMEM guard.
+        per_row = 2 * T * (4 + k * track_dtype.itemsize)
+        stile = (VMEM_BUDGET_BYTES // per_row // 1024) * 1024
         if stile >= 1024:
             return _hgf_filter_sublane_jit(
                 u,
+                tuple(tracks),
+                track_dtype,
                 kappa,
                 omega,
                 theta,
@@ -402,7 +447,6 @@ def hgf_filter_pallas(
             f"(budget {VMEM_BUDGET_BYTES}); reduce T or tile, request "
             "fewer tracks, or use method='scan'"
         )
-    track_dtype = u.dtype if track_dtype is None else jnp.dtype(track_dtype)
     return _hgf_filter_pallas_jit(
         u,
         tuple(tracks),
