@@ -197,6 +197,7 @@ def mv_lgssm_smooth_time_sharded(
     *,
     mesh: Mesh,
     time_axis: str = "time",
+    missing: str = "none",
 ):
     """Vector-state analogue of :func:`lgssm_smooth_time_sharded`.
 
@@ -207,8 +208,15 @@ def mv_lgssm_smooth_time_sharded(
     lane-major layout (replicas on lanes; ``ops/chains_mv.py`` lane-major
     section): a sequential O(Tb) local fold + fill-in — the distributed
     form of :func:`cortex_tpu.ops.chains_mv.mv_lgssm_smooth_blocked`, with
-    device index standing in for the block index.  Dense data only (NaN
-    missingness is handled by the single-chip paths).
+    device index standing in for the block index.
+
+    ``missing="none"`` (default): dense data only — the shared fast
+    per-step elements assume every component observed, and NaNs propagate.
+    ``missing="component"``: per-component NaN masking in information form
+    (the same masked innovation systems as the single-chip paths'
+    ``component_missing=True`` — a NaN in one observation component keeps
+    the others' information; fully-NaN steps predict through), at the cost
+    of per-step lane-major m-system solves in the element build.
 
     The lane-major element algebra shares the blocked path's d-crossover
     (its combine does d³ per-lane VPU work — ``MvLGSSM.auto_method``):
@@ -234,6 +242,10 @@ def mv_lgssm_smooth_time_sharded(
         _solve_small,
     )
 
+    if missing not in ("none", "component"):
+        raise ValueError(
+            f"unknown missing={missing!r}; expected 'none' or 'component'"
+        )
     y = jnp.asarray(y)
     A, Q, H, R = map(jnp.asarray, (A, Q, H, R))
     m0, P0 = map(jnp.asarray, prior)
@@ -263,25 +275,65 @@ def mv_lgssm_smooth_time_sharded(
         def lane(mat):
             return jnp.asarray(mat, y.dtype)[..., None]
 
-        # Generic filter elements for all local steps (lane-major).
-        S = H @ Q @ _mT(H) + R
-        K = _mT(_solve_small(_mT(S), H @ _mT(Q), pivot=False))
-        IKH = I - K @ H
-        HtSi = _mT(_solve_small(_mT(S), H, pivot=False))
-        full = (Tb, d, d, lanes)
-        A_e = jnp.broadcast_to(lane(IKH @ A), full)
-        C_e = jnp.broadcast_to(lane(IKH @ Q), full)
-        J_e = jnp.broadcast_to(lane(_mT(A) @ HtSi @ H @ A), full)
-        b_e = jnp.einsum("dm,tmL->tdL", K.astype(y.dtype), yL)
-        eta_e = jnp.einsum("dm,tmL->tdL", (_mT(A) @ HtSi).astype(y.dtype), yL)
+        if missing == "component":
+            # Per-step masked elements (H' = diag(c)H, R' = diag(c)Rdiag(c)
+            # + diag(1-c)) — same embedding as the single-chip component
+            # builders (``ops/chains_mv._build_filter_elems_lanes_component``);
+            # per-step lane m-system solves instead of the shared elements.
+            cL = (~jnp.isnan(yL)).astype(y.dtype)  # (Tb, m, L)
+            yL = jnp.where(cL > 0, yL, 0.0)
+            A_l, Q_l = lane(A), lane(Q)
+            I_m = jnp.eye(mdim, dtype=y.dtype)[:, :, None]
+            Hm = cL[:, :, None, :] * lane(H)  # (Tb, m, d, L)
+            Rm = (
+                cL[:, :, None, :] * cL[:, None, :, :] * lane(R)
+                + (1.0 - cL)[:, :, None, :] * I_m
+            )
+            S_l = _lmm(_lmm(Hm, Q_l), _lT(Hm)) + Rm
+            K_l = _lT(_lsolve(_lT(S_l), _lmm(Hm, _lT(Q_l))))
+            IKH_l = I[:, :, None] - _lmm(K_l, Hm)
+            HtSi_l = _lT(_lsolve(_lT(S_l), Hm))
+            AtHtSi = _lmm(_lT(A_l), HtSi_l)
+            A_e = _lmm(IKH_l, A_l)
+            C_e = _lmm(IKH_l, Q_l)
+            J_e = _lmm(_lmm(AtHtSi, Hm), A_l)
+            b_e = _lmv(K_l, yL)
+            eta_e = _lmv(AtHtSi, yL)
 
-        # First global element: filtered belief of x_1 from the prior.
-        S1 = H @ P0 @ _mT(H) + R
-        K1 = _mT(_solve_small(_mT(S1), H @ _mT(P0), pivot=False))
-        b1 = m0[:, None] + jnp.einsum(
-            "dm,mL->dL", K1.astype(y.dtype), yL[0] - (H @ m0)[:, None]
-        )
-        C1 = jnp.broadcast_to(lane((I - K1 @ H) @ P0), (d, d, lanes))
+            # First global element: masked prior-conditioned belief of x_1.
+            P0_l = lane(P0)
+            m0_l = jnp.asarray(m0, y.dtype)[:, None]  # (d, 1)
+            S1_l = _lmm(_lmm(Hm[0], P0_l), _lT(Hm[0])) + Rm[0]
+            K1_l = _lT(_lsolve(_lT(S1_l), _lmm(Hm[0], _lT(P0_l))))
+            b1 = m0_l + _lmv(
+                K1_l,
+                yL[0] - _lmv(Hm[0], jnp.broadcast_to(m0_l, (d, lanes))),
+            )
+            C1 = _lmm(I[:, :, None] - _lmm(K1_l, Hm[0]), P0_l)
+        else:
+            # Generic filter elements for all local steps (lane-major).
+            S = H @ Q @ _mT(H) + R
+            K = _mT(_solve_small(_mT(S), H @ _mT(Q), pivot=False))
+            IKH = I - K @ H
+            HtSi = _mT(_solve_small(_mT(S), H, pivot=False))
+            full = (Tb, d, d, lanes)
+            A_e = jnp.broadcast_to(lane(IKH @ A), full)
+            C_e = jnp.broadcast_to(lane(IKH @ Q), full)
+            J_e = jnp.broadcast_to(lane(_mT(A) @ HtSi @ H @ A), full)
+            b_e = jnp.einsum("dm,tmL->tdL", K.astype(y.dtype), yL)
+            eta_e = jnp.einsum(
+                "dm,tmL->tdL", (_mT(A) @ HtSi).astype(y.dtype), yL
+            )
+
+            # First global element: filtered belief of x_1 from the prior.
+            S1 = H @ P0 @ _mT(H) + R
+            K1 = _mT(_solve_small(_mT(S1), H @ _mT(P0), pivot=False))
+            b1 = m0[:, None] + jnp.einsum(
+                "dm,mL->dL", K1.astype(y.dtype), yL[0] - (H @ m0)[:, None]
+            )
+            C1 = jnp.broadcast_to(lane((I - K1 @ H) @ P0), (d, d, lanes))
+        b1 = jnp.broadcast_to(b1, (d, lanes))
+        C1 = jnp.broadcast_to(C1, (d, d, lanes))
         is_first = my == 0
         A_e = A_e.at[0].set(jnp.where(is_first, jnp.zeros_like(A_e[0]), A_e[0]))
         b_e = b_e.at[0].set(jnp.where(is_first, b1, b_e[0]))

@@ -303,3 +303,49 @@ def test_pipelined_smoothing_input_validation():
         lgssm_smooth_pipelined(jnp.ones((6, 64)), mesh=mesh)
     with pytest.raises(ValueError):  # needs (batch, T)
         lgssm_smooth_pipelined(jnp.ones(64), mesh=mesh)
+
+
+def test_mv_time_sharded_component_missing_matches_single_device():
+    """missing='component' on the time-sharded mv smoother: per-component
+    NaNs (incl. a gap spanning a device boundary and a partial step on
+    device 0's first step) must match the single-chip component path."""
+    from cortex_tpu.ops.chains_mv import mv_lgssm_smooth
+    from cortex_tpu.parallel import mv_lgssm_smooth_time_sharded
+
+    rng = np.random.default_rng(17)
+    d = m = 2
+    B, T = 3, 40
+    A = np.array([[0.9, 0.1], [0.0, 0.85]])
+    Q = 0.3 * np.eye(d)
+    H = np.array([[1.0, 0.2], [0.0, 1.0]])
+    R = np.array([[0.4, 0.1], [0.1, 0.5]])
+    m0, P0 = np.zeros(d), 1.5 * np.eye(d)
+    y = rng.normal(size=(B, T, m)).cumsum(1).astype(np.float32)
+    y[0, 0, 1] = np.nan        # partial on the global FIRST step
+    y[1, 4:6] = np.nan         # whole steps inside device 0's block
+    y[2, 9:11, 0] = np.nan     # partial run spanning the 5-step boundary
+    y[:, 23, 0] = np.nan       # partial step on a later device
+
+    args = tuple(
+        jnp.asarray(a, jnp.float32) for a in (A, Q, H, R)
+    )
+    prior = (jnp.asarray(m0, jnp.float32), jnp.asarray(P0, jnp.float32))
+    mesh = make_mesh([("time", 8)])
+    result = mv_lgssm_smooth_time_sharded(
+        jnp.asarray(y), *args, prior, mesh=mesh, missing="component"
+    )
+    expected = mv_lgssm_smooth(
+        jnp.asarray(y), *args, prior, component_missing=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.mean), np.asarray(expected.mean),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.cov), np.asarray(expected.cov),
+        rtol=5e-3, atol=2e-3,
+    )
+    with pytest.raises(ValueError, match="missing"):
+        mv_lgssm_smooth_time_sharded(
+            jnp.asarray(y), *args, prior, mesh=mesh, missing="bogus"
+        )
