@@ -233,6 +233,40 @@ def render_crossover(ctx) -> str:
     return "\n".join(lines) + "\n"
 
 
+def render_weak_scaling(ctx) -> str:
+    """Weak-scaling slowdown table for docs/scaling.md (from
+    SCALING_r05.json)."""
+    paths = ctx["paths"]
+    rows_by = {
+        "replica-sharded LGSSM": ("replica_sharded_lgssm", None),
+        "time-sharded scalar": ("time_sharded_scalar", None),
+        "time-sharded mv (d=4)": ("time_sharded_mv_d4", None),
+        "pipelined (M=S)": ("pipelined", lambda r: r["n_micro"] == r["devices"]),
+        "pipelined (M=4S)": (
+            "pipelined",
+            lambda r: r["n_micro"] == 4 * r["devices"],
+        ),
+    }
+    lines = [
+        "| Path | n=2 | n=4 | n=8 | collective fraction (n=2, 1:1 cores) |",
+        "|---|---|---|---|---|",
+    ]
+    for label, (key, pred) in rows_by.items():
+        rows = [r for r in paths[key]["rows"] if pred is None or pred(r)]
+        by_n = {r["devices"]: r for r in rows}
+
+        def slow(n):
+            r = by_n.get(n)
+            return f"{r['slowdown_vs_embarrassing']:.2f}" if r else "—"
+
+        cf = by_n.get(2, {}).get("collective_fraction")
+        cf_s = f"{cf:.2f}" if cf is not None else "— (no collectives)"
+        lines.append(
+            f"| {label} | {slow(2)} | {slow(4)} | {slow(8)} | {cf_s} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
 RENDERERS = {
     "ladder": render_ladder,
     "mv-methods": render_mv_methods,
@@ -240,20 +274,24 @@ RENDERERS = {
     "bf16-speed": render_bf16_speed,
 }
 CROSSOVER_RENDERERS = {"crossover": render_crossover}
+SCALING_RENDERERS = {"weak-scaling": render_weak_scaling}
 
 DOC_FILES = (
     "docs/benchmarks.md",
     "docs/models.md",
     "docs/compiled.md",
     "docs/precision.md",
+    "docs/scaling.md",
 )
 
 
-def rendered_files(detail, crossover=None) -> dict:
+def rendered_files(detail, crossover=None, scaling=None) -> dict:
     """{relative path: new text} for every doc containing generated
     regions."""
     if crossover is None and (REPO / "CROSSOVER.json").exists():
         crossover = json.loads((REPO / "CROSSOVER.json").read_text())
+    if scaling is None and (REPO / "SCALING_r05.json").exists():
+        scaling = json.loads((REPO / "SCALING_r05.json").read_text())
     out = {}
     for rel in DOC_FILES:
         path = REPO / rel
@@ -265,8 +303,10 @@ def rendered_files(detail, crossover=None) -> dict:
                 body = RENDERERS[name](detail)
             elif name in CROSSOVER_RENDERERS and crossover is not None:
                 body = CROSSOVER_RENDERERS[name](crossover)
-            elif name in CROSSOVER_RENDERERS:
-                return mo.group(0)  # no CROSSOVER.json: leave untouched
+            elif name in SCALING_RENDERERS and scaling is not None:
+                body = SCALING_RENDERERS[name](scaling)
+            elif name in CROSSOVER_RENDERERS or name in SCALING_RENDERERS:
+                return mo.group(0)  # artifact absent: leave untouched
             else:
                 raise SystemExit(f"{rel}: unknown generated region {name!r}")
             return (
